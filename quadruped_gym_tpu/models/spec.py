@@ -1,0 +1,345 @@
+"""MJCF ingestion: compile the robot model on the host and extract a static
+``PhysicsModel`` consumed by the pure-JAX dynamics engine.
+
+The reference framework delegates physics to the MuJoCo C engine
+(``/root/reference/src/envs/quadruped.py:59-60,165``). Here MuJoCo is used
+*only at model-build time on the host* — as an MJCF compiler — to produce
+exact kinematic/inertial/actuation/contact parameters (including mesh-derived
+inertias and convex hulls). Simulation itself is re-derived in JAX
+(see ``quadruped_gym_tpu.physics``), never calls into MuJoCo, and runs
+batched on TPU.
+
+Design notes (TPU-first):
+  * ``PhysicsModel`` is a frozen host-side object, treated as a *static
+    closure constant* by the engine. Its arrays become XLA constants, which
+    lets the compiler constant-fold the kinematic tree.
+  * Quantities that are randomized per-scenario (mass, friction, gains) are
+    overridden at trace time through ``DomainParams`` — a real pytree that is
+    threaded through jit/vmap as data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+DEFAULT_SCENE = os.path.join(ASSETS_DIR, "scene.xml")
+
+# MuJoCo sensor type enum values we support (mjtSensor).
+SENSOR_JOINTPOS = 9
+SENSOR_ACCELEROMETER = 1
+SENSOR_GYRO = 3
+SENSOR_FRAMEPOS = 26
+SENSOR_FRAMELINVEL = 31
+SENSOR_FRAMEXAXIS = 28
+SENSOR_FRAMEZAXIS = 30
+SENSOR_VELOCIMETER = 2
+
+# mjtJoint
+JNT_FREE = 0
+JNT_BALL = 1
+JNT_SLIDE = 2
+JNT_HINGE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorEntry:
+    kind: int
+    objid: int  # joint id for jointpos, site id otherwise
+    adr: int  # offset into the sensordata vector
+    dim: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsModel:
+    """Static model description. All arrays are host numpy (float64/int)."""
+
+    # sizes
+    nq: int
+    nv: int
+    nu: int
+    na: int
+    nbody: int
+    njnt: int
+    nsensordata: int
+
+    # options
+    timestep: float
+    gravity: np.ndarray  # (3,)
+    solver_iterations: int
+    solver_tolerance: float
+    ls_iterations: int
+    ls_tolerance: float
+    impratio: float
+
+    # bodies (index 0 is the world)
+    body_parentid: Tuple[int, ...]
+    body_jntadr: Tuple[int, ...]
+    body_jntnum: Tuple[int, ...]
+    body_dofadr: Tuple[int, ...]
+    body_dofnum: Tuple[int, ...]
+    body_pos: np.ndarray  # (nbody, 3) frame offset in parent
+    body_quat: np.ndarray  # (nbody, 4)
+    body_ipos: np.ndarray  # (nbody, 3) inertial frame in body
+    body_iquat: np.ndarray  # (nbody, 4)
+    body_mass: np.ndarray  # (nbody,)
+    body_inertia: np.ndarray  # (nbody, 3) principal moments
+
+    # joints
+    jnt_type: Tuple[int, ...]
+    jnt_qposadr: Tuple[int, ...]
+    jnt_dofadr: Tuple[int, ...]
+    jnt_bodyid: Tuple[int, ...]
+    jnt_axis: np.ndarray  # (njnt, 3) in body frame
+    jnt_pos: np.ndarray  # (njnt, 3) anchor in body frame
+    jnt_range: np.ndarray  # (njnt, 2)
+    jnt_limited: Tuple[bool, ...]
+    jnt_solref: np.ndarray  # (njnt, 2)
+    jnt_solimp: np.ndarray  # (njnt, 5)
+    jnt_margin: np.ndarray  # (njnt,)
+
+    # dofs
+    dof_damping: np.ndarray  # (nv,)
+    dof_armature: np.ndarray  # (nv,)
+    dof_jntid: Tuple[int, ...]
+
+    # actuators (all joint-transmission position servos in this robot)
+    actuator_trnid: Tuple[int, ...]  # joint id per actuator
+    actuator_gear: np.ndarray  # (nu,) scalar gear on the hinge axis
+    actuator_dyntype: Tuple[int, ...]  # 3 == filterexact
+    actuator_dynprm: np.ndarray  # (nu, 3) [timeconst, ...]
+    actuator_gainprm: np.ndarray  # (nu, 3) [kp, 0, 0]
+    actuator_biasprm: np.ndarray  # (nu, 3) [0, -kp, -kv]
+    actuator_ctrlrange: np.ndarray  # (nu, 2)
+    actuator_forcerange: np.ndarray  # (nu, 2)
+
+    # collision: plane (floor) vs convex mesh geoms
+    plane_pos: np.ndarray  # (3,)
+    plane_normal: np.ndarray  # (3,) world
+    col_geom_bodyid: Tuple[int, ...]  # per collidable mesh geom
+    col_geom_pos: np.ndarray  # (ncol, 3) geom offset in body
+    col_geom_quat: np.ndarray  # (ncol, 4)
+    col_geom_names: Tuple[str, ...]
+    col_hull_verts: Tuple[np.ndarray, ...]  # per geom (V_i, 3) hull vertices
+    col_friction: np.ndarray  # (ncol, 3) combined tan/torsion (condim 3)
+    col_solref: np.ndarray  # (ncol, 2) combined
+    col_solimp: np.ndarray  # (ncol, 5) combined
+    col_margin: np.ndarray  # (ncol,) combined margin
+    col_gap: np.ndarray  # (ncol,)
+    col_condim: Tuple[int, ...]
+
+    # sensors
+    sensors: Tuple[SensorEntry, ...]
+    site_bodyid: int
+    site_pos: np.ndarray  # (3,) site offset in body frame
+    site_quat: np.ndarray  # (4,)
+
+    # reset state
+    qpos0: np.ndarray  # (nq,)
+
+    # names for lookups
+    joint_names: Tuple[str, ...]
+    actuator_names: Tuple[str, ...]
+    sensor_names: Tuple[str, ...]
+    sensor_adr_by_name: Tuple[Tuple[str, int], ...]
+
+    def sensor_adr(self, name: str) -> int:
+        """Start offset of a named sensor in the 33-dim sensordata vector.
+
+        Mirrors the reference's name-based sensor lookup
+        (``walking_quad.py:19-29``)."""
+        for n, adr in self.sensor_adr_by_name:
+            if n == name:
+                return adr
+        raise KeyError(name)
+
+
+def _combine_pair(plane, geom, field, mode):
+    if mode == "max":
+        return np.maximum(plane, geom)
+    if mode == "mean":
+        return 0.5 * (plane + geom)
+    raise ValueError(mode)
+
+
+def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
+    """Compile the MJCF scene and extract the static physics model."""
+    import mujoco  # host-side only
+
+    m = mujoco.MjModel.from_xml_path(xml_path)
+
+    # --- floor plane ---
+    plane_ids = [i for i in range(m.ngeom) if m.geom_type[i] == mujoco.mjtGeom.mjGEOM_PLANE]
+    assert len(plane_ids) == 1, "expected exactly one ground plane"
+    pid = plane_ids[0]
+    assert m.geom_bodyid[pid] == 0, "ground plane must be on the world body"
+    plane_pos = m.geom_pos[pid].copy()
+    plane_quat = m.geom_quat[pid].copy()
+    # plane normal is the local +z axis of the plane geom
+    rot = np.zeros(9)
+    mujoco.mju_quat2Mat(rot, plane_quat)
+    plane_normal = rot.reshape(3, 3)[:, 2].copy()
+
+    # --- collidable mesh geoms (everything that can hit the floor) ---
+    col_ids = []
+    for g in range(m.ngeom):
+        if g == pid:
+            continue
+        if m.geom_type[g] != mujoco.mjtGeom.mjGEOM_MESH:
+            continue
+        # contype/conaffinity compatibility with the plane
+        if (m.geom_contype[g] & m.geom_conaffinity[pid]) or (
+            m.geom_contype[pid] & m.geom_conaffinity[g]
+        ):
+            col_ids.append(g)
+
+    hulls = []
+    for g in col_ids:
+        mid = m.geom_dataid[g]
+        adr = m.mesh_graphadr[mid]
+        vadr = m.mesh_vertadr[mid]
+        vnum = m.mesh_vertnum[mid]
+        verts = m.mesh_vert[vadr : vadr + vnum]
+        if adr >= 0:
+            graph = m.mesh_graph
+            numvert = int(graph[adr])
+            # graph layout: numvert, numface, vert_edgeadr[numvert],
+            # vert_globalid[numvert], ...
+            gid_start = adr + 2 + numvert
+            globalid = graph[gid_start : gid_start + numvert]
+            hull = verts[np.asarray(globalid, dtype=int)]
+        else:
+            hull = verts
+        hulls.append(np.asarray(hull, dtype=np.float64))
+
+    ncol = len(col_ids)
+    col_friction = np.zeros((ncol, 3))
+    col_solref = np.zeros((ncol, 2))
+    col_solimp = np.zeros((ncol, 5))
+    col_margin = np.zeros(ncol)
+    col_gap = np.zeros(ncol)
+    for k, g in enumerate(col_ids):
+        p1, p2 = m.geom_priority[pid], m.geom_priority[g]
+        if p1 == p2:
+            # solmix-weighted mixing; friction is the element-wise max
+            s1, s2 = m.geom_solmix[pid], m.geom_solmix[g]
+            w1 = s1 / max(s1 + s2, 1e-12) if (s1 + s2) > 0 else 0.5
+            w2 = 1.0 - w1
+            # negative solref entries use min (direct spec); positive mix
+            if m.geom_solref[pid][0] > 0 and m.geom_solref[g][0] > 0:
+                col_solref[k] = w1 * m.geom_solref[pid] + w2 * m.geom_solref[g]
+            else:
+                col_solref[k] = np.minimum(m.geom_solref[pid], m.geom_solref[g])
+            col_solimp[k] = w1 * m.geom_solimp[pid] + w2 * m.geom_solimp[g]
+            col_friction[k] = np.maximum(m.geom_friction[pid], m.geom_friction[g])
+        else:
+            src = pid if p1 > p2 else g
+            col_solref[k] = m.geom_solref[src]
+            col_solimp[k] = m.geom_solimp[src]
+            col_friction[k] = m.geom_friction[src]
+        col_margin[k] = max(m.geom_margin[pid], m.geom_margin[g])
+        col_gap[k] = max(m.geom_gap[pid], m.geom_gap[g])
+
+    # --- sensors ---
+    sensors = []
+    for s in range(m.nsensor):
+        sensors.append(
+            SensorEntry(
+                kind=int(m.sensor_type[s]),
+                objid=int(m.sensor_objid[s]),
+                adr=int(m.sensor_adr[s]),
+                dim=int(m.sensor_dim[s]),
+            )
+        )
+    assert m.nsite == 1, "engine assumes the single FRAME imu site"
+
+    names = lambda obj, n: tuple(obj(i).name for i in range(n))
+
+    return PhysicsModel(
+        nq=m.nq,
+        nv=m.nv,
+        nu=m.nu,
+        na=m.na,
+        nbody=m.nbody,
+        njnt=m.njnt,
+        nsensordata=m.nsensordata,
+        timestep=float(m.opt.timestep),
+        gravity=np.asarray(m.opt.gravity, dtype=np.float64).copy(),
+        solver_iterations=int(m.opt.iterations),
+        solver_tolerance=float(m.opt.tolerance),
+        ls_iterations=int(m.opt.ls_iterations),
+        ls_tolerance=float(m.opt.ls_tolerance),
+        impratio=float(m.opt.impratio),
+        body_parentid=tuple(int(x) for x in m.body_parentid),
+        body_jntadr=tuple(int(x) for x in m.body_jntadr),
+        body_jntnum=tuple(int(x) for x in m.body_jntnum),
+        body_dofadr=tuple(int(x) for x in m.body_dofadr),
+        body_dofnum=tuple(int(x) for x in m.body_dofnum),
+        body_pos=m.body_pos.copy(),
+        body_quat=m.body_quat.copy(),
+        body_ipos=m.body_ipos.copy(),
+        body_iquat=m.body_iquat.copy(),
+        body_mass=m.body_mass.copy(),
+        body_inertia=m.body_inertia.copy(),
+        jnt_type=tuple(int(x) for x in m.jnt_type),
+        jnt_qposadr=tuple(int(x) for x in m.jnt_qposadr),
+        jnt_dofadr=tuple(int(x) for x in m.jnt_dofadr),
+        jnt_bodyid=tuple(int(x) for x in m.jnt_bodyid),
+        jnt_axis=m.jnt_axis.copy(),
+        jnt_pos=m.jnt_pos.copy(),
+        jnt_range=m.jnt_range.copy(),
+        jnt_limited=tuple(bool(x) for x in m.jnt_limited),
+        jnt_solref=m.jnt_solref.copy(),
+        jnt_solimp=m.jnt_solimp.copy(),
+        jnt_margin=m.jnt_margin.copy(),
+        dof_damping=m.dof_damping.copy(),
+        dof_armature=m.dof_armature.copy(),
+        dof_jntid=tuple(int(x) for x in m.dof_jntid),
+        actuator_trnid=tuple(int(x) for x in m.actuator_trnid[:, 0]),
+        actuator_gear=m.actuator_gear[:, 0].copy(),
+        actuator_dyntype=tuple(int(x) for x in m.actuator_dyntype),
+        actuator_dynprm=m.actuator_dynprm[:, :3].copy(),
+        actuator_gainprm=m.actuator_gainprm[:, :3].copy(),
+        actuator_biasprm=m.actuator_biasprm[:, :3].copy(),
+        actuator_ctrlrange=m.actuator_ctrlrange.copy(),
+        actuator_forcerange=m.actuator_forcerange.copy(),
+        plane_pos=plane_pos,
+        plane_normal=plane_normal,
+        col_geom_bodyid=tuple(int(m.geom_bodyid[g]) for g in col_ids),
+        col_geom_pos=np.stack([m.geom_pos[g] for g in col_ids]),
+        col_geom_quat=np.stack([m.geom_quat[g] for g in col_ids]),
+        col_geom_names=tuple(m.geom(g).name for g in col_ids),
+        col_hull_verts=tuple(hulls),
+        col_friction=col_friction,
+        col_solref=col_solref,
+        col_solimp=col_solimp,
+        col_margin=col_margin,
+        col_gap=col_gap,
+        col_condim=tuple(int(m.geom_condim[g]) for g in col_ids),
+        sensors=tuple(sensors),
+        site_bodyid=int(m.site_bodyid[0]),
+        site_pos=m.site_pos[0].copy(),
+        site_quat=m.site_quat[0].copy(),
+        qpos0=m.qpos0.copy(),
+        joint_names=names(m.joint, m.njnt),
+        actuator_names=names(m.actuator, m.nu),
+        sensor_names=names(m.sensor, m.nsensor),
+        sensor_adr_by_name=tuple(
+            (m.sensor(i).name, int(m.sensor_adr[i])) for i in range(m.nsensor)
+        ),
+    )
+
+
+_MODEL_CACHE: dict = {}
+
+
+def get_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
+    """Cached model build (host-side MJCF compilation is not free)."""
+    key = os.path.abspath(xml_path)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = build_physics_model(key)
+    return _MODEL_CACHE[key]

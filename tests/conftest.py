@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Parity tests run in float64 on the CPU backend so the JAX engine can be
+compared against CPU MuJoCo at machine precision. Multi-device sharding
+tests use an 8-device virtual CPU mesh (``--xla_force_host_platform_device_count``),
+so collectives are exercised without a TPU pod — the strategy SURVEY.md §4
+prescribes for a repo whose reference has no tests at all.
+"""
+
+import os
+
+# must be set before jax initializes its CPU client
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# The sandbox exposes an experimental TPU platform that cannot be disabled
+# via JAX_PLATFORMS; route defaults to the CPU backend for deterministic,
+# float64-capable test execution.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
