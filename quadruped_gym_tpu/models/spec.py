@@ -106,6 +106,8 @@ class PhysicsModel:
     dof_damping: np.ndarray  # (nv,)
     dof_armature: np.ndarray  # (nv,)
     dof_jntid: Tuple[int, ...]
+    dof_invweight0: np.ndarray  # (nv,) compile-time inverse weights
+    body_invweight0: np.ndarray  # (nbody, 2) [translational, rotational]
 
     # actuators (all joint-transmission position servos in this robot)
     actuator_trnid: Tuple[int, ...]  # joint id per actuator
@@ -131,6 +133,13 @@ class PhysicsModel:
     col_margin: np.ndarray  # (ncol,) combined margin
     col_gap: np.ndarray  # (ncol,)
     col_condim: Tuple[int, ...]
+    # Multi-contact selection thresholds, calibrated per mesh against the
+    # CPU-MuJoCo oracle (see scripts/calibrate_contacts.py). MuJoCo's exact
+    # plane-convex extra-point selection depends on qhull internals; the
+    # deepest (support) contact is reproduced exactly, extra points follow
+    # a farthest-point rule gated by these distances (~95% count agreement).
+    col_theta2: np.ndarray  # (ncol,) min planar distance for a 2nd contact
+    col_theta3: np.ndarray  # (ncol,) min line distance for a 3rd contact
 
     # sensors
     sensors: Tuple[SensorEntry, ...]
@@ -158,12 +167,24 @@ class PhysicsModel:
         raise KeyError(name)
 
 
-def _combine_pair(plane, geom, field, mode):
-    if mode == "max":
-        return np.maximum(plane, geom)
-    if mode == "mean":
-        return 0.5 * (plane + geom)
-    raise ValueError(mode)
+# Calibrated against CPU MuJoCo 3.10 on the robot meshes
+# (scripts/calibrate_contacts.py): minimal separation distances that make a
+# 2nd / 3rd plane-convex contact point appear. Unknown meshes fall back to
+# 0.5 * rbound.
+_CONTACT_THETA2 = {
+    "FOOT": 0.034314,
+    "SERVO": 0.028481,
+    "FEMA": 0.019995,
+    "SHIN": 0.053983,
+    "FRAME": 0.030,
+}
+_CONTACT_THETA3 = {
+    "FOOT": 0.010964,
+    "SERVO": 1.0,  # effectively single/dual-point
+    "FEMA": 1.0,
+    "SHIN": 1.0,
+    "FRAME": 1.0,
+}
 
 
 def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
@@ -244,6 +265,13 @@ def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
         col_margin[k] = max(m.geom_margin[pid], m.geom_margin[g])
         col_gap[k] = max(m.geom_gap[pid], m.geom_gap[g])
 
+    col_theta2 = np.zeros(ncol)
+    col_theta3 = np.zeros(ncol)
+    for k, g in enumerate(col_ids):
+        mesh_name = m.mesh(m.geom_dataid[g]).name
+        col_theta2[k] = _CONTACT_THETA2.get(mesh_name, 0.5 * m.geom_rbound[g])
+        col_theta3[k] = _CONTACT_THETA3.get(mesh_name, 1.0)
+
     # --- sensors ---
     sensors = []
     for s in range(m.nsensor):
@@ -299,6 +327,8 @@ def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
         dof_damping=m.dof_damping.copy(),
         dof_armature=m.dof_armature.copy(),
         dof_jntid=tuple(int(x) for x in m.dof_jntid),
+        dof_invweight0=m.dof_invweight0.copy(),
+        body_invweight0=m.body_invweight0.copy(),
         actuator_trnid=tuple(int(x) for x in m.actuator_trnid[:, 0]),
         actuator_gear=m.actuator_gear[:, 0].copy(),
         actuator_dyntype=tuple(int(x) for x in m.actuator_dyntype),
@@ -320,6 +350,8 @@ def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
         col_margin=col_margin,
         col_gap=col_gap,
         col_condim=tuple(int(m.geom_condim[g]) for g in col_ids),
+        col_theta2=col_theta2,
+        col_theta3=col_theta3,
         sensors=tuple(sensors),
         site_bodyid=int(m.site_bodyid[0]),
         site_pos=m.site_pos[0].copy(),
