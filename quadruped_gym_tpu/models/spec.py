@@ -187,8 +187,18 @@ _CONTACT_THETA3 = {
 }
 
 
-def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
-    """Compile the MJCF scene and extract the static physics model."""
+def build_physics_model(
+    xml_path: str = DEFAULT_SCENE,
+    collision_geom_prefixes: Optional[Tuple[str, ...]] = None,
+) -> PhysicsModel:
+    """Compile the MJCF scene and extract the static physics model.
+
+    ``collision_geom_prefixes`` restricts the collidable geom set (e.g.
+    ``("foot", "shin", "ankle_servo")``) — an MPC-speed variant: walking
+    gaits only ground-contact through the lower leg, and pruning the other
+    hulls removes ~90% of collision vertex work per step. The full set is
+    the parity-exact default.
+    """
     import mujoco  # host-side only
 
     m = mujoco.MjModel.from_xml_path(xml_path)
@@ -216,6 +226,10 @@ def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
         if (m.geom_contype[g] & m.geom_conaffinity[pid]) or (
             m.geom_contype[pid] & m.geom_conaffinity[g]
         ):
+            if collision_geom_prefixes is not None and not any(
+                m.geom(g).name.startswith(p) for p in collision_geom_prefixes
+            ):
+                continue
             col_ids.append(g)
 
     hulls = []
@@ -369,9 +383,18 @@ def build_physics_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
 _MODEL_CACHE: dict = {}
 
 
-def get_model(xml_path: str = DEFAULT_SCENE) -> PhysicsModel:
+def get_model(
+    xml_path: str = DEFAULT_SCENE,
+    collision_geom_prefixes: Optional[Tuple[str, ...]] = None,
+) -> PhysicsModel:
     """Cached model build (host-side MJCF compilation is not free)."""
-    key = os.path.abspath(xml_path)
+    key = (os.path.abspath(xml_path), collision_geom_prefixes)
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = build_physics_model(key)
+        _MODEL_CACHE[key] = build_physics_model(
+            xml_path, collision_geom_prefixes=collision_geom_prefixes
+        )
     return _MODEL_CACHE[key]
+
+
+# lower-leg collision set for MPC-speed models (feet + ankle servos + shins)
+MPC_COLLISION_PREFIXES = ("foot", "shin", "ankle_servo")

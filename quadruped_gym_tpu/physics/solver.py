@@ -42,8 +42,17 @@ def solve(
 ) -> SolveResult:
     dt = qacc_smooth.dtype
     J, aref, D = efc.J, efc.aref, efc.D
-    iterations = iterations or m.solver_iterations
+    iterations = m.solver_iterations if iterations is None else iterations
     tolerance = tolerance if tolerance is not None else m.solver_tolerance
+
+    if iterations == 0:  # constraint-free fast path (benchmarks/ablations)
+        nrow = J.shape[0]
+        return SolveResult(
+            qacc=qacc_smooth,
+            qfrc_constraint=jnp.zeros_like(qacc_smooth),
+            efc_force=jnp.zeros(nrow, dtype=dt),
+            niter=jnp.asarray(0),
+        )
 
     # scale for the termination criterion (mirrors MuJoCo's meaninertia-based
     # scaling loosely; exactness of the optimum does not depend on it)

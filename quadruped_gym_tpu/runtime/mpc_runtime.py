@@ -1,0 +1,123 @@
+"""Receding-horizon MPC runtime: plan -> apply -> shift, under one jit.
+
+The replanning loop of the TPU-native engine (BASELINE north star: <10 ms
+replan at a 100 Hz inner loop). The whole closed-loop step — sampling,
+batched rollouts, weighting, mean update, and advancing the plant — is a
+single compiled function with donated buffers, so steady-state latency is
+pure device time, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.spec import PhysicsModel
+from ..physics import engine
+from ..tasks.commands import Command
+from . import checkpoint as _ckpt  # noqa: F401 (re-export convenience)
+from ..solvers import cem as cem_mod
+from ..solvers import mppi as mppi_mod
+from ..solvers import rollout as rollout_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    solver: str = "mppi"  # "mppi" | "cem"
+    mppi: mppi_mod.MPPIConfig = mppi_mod.MPPIConfig()
+    cem: cem_mod.CEMConfig = cem_mod.CEMConfig()
+    # plant (the "real" robot) stepping
+    plant_frame_skip: int = 5
+    plant_max_contacts: int = 24
+    plant_solver_iterations: Optional[int] = None
+
+    @property
+    def rollout(self) -> rollout_mod.RolloutConfig:
+        return self.mppi.rollout if self.solver == "mppi" else self.cem.rollout
+
+
+class MPCCarry(NamedTuple):
+    mean: jnp.ndarray  # (H, nu) warm-started plan
+    sigma: jnp.ndarray  # (H, nu) CEM distribution scale
+    prev_ctrl: jnp.ndarray  # (nu,)
+    key: jax.Array
+
+
+def init_carry(
+    m: PhysicsModel, cfg: MPCConfig, horizon: int, key: jax.Array, dtype=jnp.float32
+) -> MPCCarry:
+    centers = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), dtype)
+    return MPCCarry(
+        mean=jnp.tile(centers, (horizon, 1)),
+        sigma=jnp.full((horizon, m.nu), cfg.cem.init_sigma, dtype),
+        prev_ctrl=centers,
+        key=key,
+    )
+
+
+def plan_and_act(
+    m: PhysicsModel,
+    cfg: MPCConfig,
+    cost_fn: rollout_mod.CostFn,
+    carry: MPCCarry,
+    phys: engine.State,
+    cmd: Command,
+):
+    """One MPC solve: returns (ctrl_to_apply, new_carry, info_dict)."""
+    key, sub = jax.random.split(carry.key)
+    if cfg.solver == "mppi":
+        res = mppi_mod.plan(
+            m, cfg.mppi, cost_fn, phys, carry.mean, cmd, carry.prev_ctrl, sub
+        )
+        mean, sigma = res.mean, carry.sigma
+        info = {"best_cost": res.best_cost, "mean_cost": res.mean_cost}
+    elif cfg.solver == "cem":
+        res = cem_mod.plan(
+            m, cfg.cem, cost_fn, phys, carry.mean, cmd, carry.prev_ctrl, sub,
+            sigma=carry.sigma,
+        )
+        mean, sigma = res.mean, res.sigma
+        info = {"best_cost": res.best_cost, "mean_cost": res.mean_cost}
+    else:
+        raise ValueError(cfg.solver)
+
+    ctrl = mean[0]
+    # receding-horizon shift: roll the plan left, repeat the last step
+    mean = jnp.concatenate([mean[1:], mean[-1:]], axis=0)
+    new_carry = MPCCarry(mean=mean, sigma=sigma, prev_ctrl=ctrl, key=key)
+    return ctrl, new_carry, info
+
+
+def closed_loop(
+    m: PhysicsModel,
+    cfg: MPCConfig,
+    cost_fn: rollout_mod.CostFn,
+    carry: MPCCarry,
+    phys: engine.State,
+    cmd: Command,
+    n_steps: int,
+    plant_model: Optional[PhysicsModel] = None,
+):
+    """Run n_steps of receding-horizon control fully on-device.
+
+    Returns (final_carry, final_phys, stacked per-step (ctrl, sensordata,
+    best_cost)). ``plant_model`` lets the plant integrate a different (e.g.
+    full-collision or domain-randomized) model than the planner."""
+    pm_plant = plant_model if plant_model is not None else m
+
+    def body(c, _):
+        carry, phys = c
+        ctrl, carry, info = plan_and_act(m, cfg, cost_fn, carry, phys, cmd)
+        phys = engine.control_step(
+            pm_plant, phys, ctrl, cfg.plant_frame_skip,
+            max_contacts=cfg.plant_max_contacts,
+            solver_iterations=cfg.plant_solver_iterations,
+        )
+        return (carry, phys), (ctrl, phys.sensordata, info["best_cost"])
+
+    (carry, phys), traj = jax.lax.scan(body, (carry, phys), None, length=n_steps)
+    return carry, phys, traj

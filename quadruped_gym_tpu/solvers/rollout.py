@@ -1,0 +1,110 @@
+"""Batched trajectory rollouts + stage costs for sampling MPC.
+
+This is the hot path of the whole framework: thousands of H-step rollouts
+per chip per solve (BASELINE configs 2-3). Shapes are static, the horizon is
+a ``lax.scan``, the batch is a ``vmap`` — XLA lays the batch across VPU
+lanes, and all small matmuls run at f32 MXU precision via the engine.
+
+The default stage cost mirrors the task's composite reward
+(``walking_quad.py:352-422``) restricted to its *stateless* terms; the
+estimator- and memory-based terms (frequency/amplitude cost, EMA control
+cost, derivative reward) are closed-loop shaping signals, not useful
+planning costs, and are omitted here (documented deviation — the task env
+itself reproduces them exactly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.spec import PhysicsModel
+from ..physics import engine
+from ..tasks import rewards
+from ..tasks.commands import Command
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    horizon: int = 50  # control steps per rollout
+    frame_skip: int = 5  # physics substeps per control step (10 ms at 2 ms h)
+    max_contacts: int = 12
+    solver_iterations: Optional[int] = 8
+
+
+# cost_fn(sens, ctrl, prev_ctrl, cmd, t) -> scalar stage cost
+CostFn = Callable[..., jnp.ndarray]
+
+
+def walking_stage_cost(
+    sl: rewards.SensorSlices,
+    sens: jnp.ndarray,
+    ctrl: jnp.ndarray,
+    prev_ctrl: jnp.ndarray,
+    cmd: Command,
+) -> jnp.ndarray:
+    """Negative of the stateless part of input_control_reward."""
+    reward = (
+        +10.0 * rewards.alive_bonus(sens.dtype)
+        + 10.0 * rewards.progress_direction_reward_local(sens, sl, cmd)
+        - 50.0 * rewards.progress_speed_cost_local(sens, sl, cmd)
+        + 10.0 * rewards.exp_dist(rewards.heading_reward(sens, sl, cmd))
+        + 10.0 * rewards.exp_dist(rewards.orientation_reward(sens, sl))
+        - 50.0 * rewards.exp_dist(rewards.body_height_cost(sens, sl, 0.13))
+        - 1.0 * rewards.joint_posture_cost(ctrl)
+        - 2.0 * jnp.sum(jnp.square(ctrl - prev_ctrl))
+    )
+    # heavily penalize flipping inside the lookahead
+    reward = reward - 200.0 * (sens[sl.zaxis + 2] < 0)
+    return -reward
+
+
+def make_cost_fn(m: PhysicsModel) -> CostFn:
+    sl = rewards.SensorSlices.from_model(m)
+
+    def fn(sens, ctrl, prev_ctrl, cmd):
+        return walking_stage_cost(sl, sens, ctrl, prev_ctrl, cmd)
+
+    return fn
+
+
+def rollout_cost(
+    m: PhysicsModel,
+    cfg: RolloutConfig,
+    cost_fn: CostFn,
+    state0: engine.State,
+    ctrl_seq: jnp.ndarray,  # (H, nu)
+    cmd: Command,
+    prev_ctrl0: jnp.ndarray,  # (nu,) the last applied control
+) -> jnp.ndarray:
+    """Total cost of one H-step rollout from state0 under ctrl_seq."""
+
+    def body(carry, ctrl):
+        st, prev = carry
+        st = engine.control_step(
+            m, st, ctrl, cfg.frame_skip,
+            max_contacts=cfg.max_contacts,
+            solver_iterations=cfg.solver_iterations,
+        )
+        c = cost_fn(st.sensordata, ctrl, prev, cmd)
+        return (st, ctrl), c
+
+    (_, _), costs = jax.lax.scan(body, (state0, prev_ctrl0), ctrl_seq)
+    return jnp.sum(costs)
+
+
+def batched_rollout_cost(
+    m: PhysicsModel,
+    cfg: RolloutConfig,
+    cost_fn: CostFn,
+    state0: engine.State,
+    ctrl_seqs: jnp.ndarray,  # (S, H, nu)
+    cmd: Command,
+    prev_ctrl0: jnp.ndarray,
+) -> jnp.ndarray:
+    """(S,) total costs; the batch axis is vmapped (one shared start state)."""
+    fn = lambda seq: rollout_cost(m, cfg, cost_fn, state0, seq, cmd, prev_ctrl0)
+    return jax.vmap(fn)(ctrl_seqs)
