@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# persistent compilation cache: repeated pytest runs skip most XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/qgt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 jax.config.update("jax_enable_x64", True)
 # The sandbox exposes an experimental TPU platform that cannot be disabled
 # via JAX_PLATFORMS; route defaults to the CPU backend for deterministic,

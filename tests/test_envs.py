@@ -1,0 +1,101 @@
+"""Gymnasium-compatible env classes + vectorized env tests."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_gym_tpu.envs.gym_env import (
+    DummyWalkingQuadrupedEnv,
+    POWalkingQuadrupedEnv,
+    QuadrupedEnv,
+    WalkingQuadrupedEnv,
+)
+from quadruped_gym_tpu.envs.vector_env import VectorWalkingEnv
+from quadruped_gym_tpu.models.spec import get_model
+from quadruped_gym_tpu.tasks import observations, walking
+
+REFERENCE = "/root/reference"
+HAVE_REFERENCE = os.path.isdir(os.path.join(REFERENCE, "src"))
+
+
+def test_base_env_api():
+    env = QuadrupedEnv(max_time=1.0, frame_skip=4)
+    obs, info = env.reset()
+    assert obs.shape == (33,)
+    assert (obs == 0).all()  # reference quirk: no forward before first obs
+    obs, rew, term, trunc, info = env.step(np.zeros(12))
+    assert rew == 0.0 and not term and not trunc
+    assert info["time"] > 0
+    env.close()
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference repo not mounted")
+def test_walking_class_env_matches_reference():
+    sys.path.insert(0, REFERENCE)
+    from src.envs.walking_quad import WalkingQuadrupedEnv as RefEnv
+
+    mine = WalkingQuadrupedEnv(max_time=20.0, frame_skip=10)
+    ref = RefEnv(model_path=mine.model_path, max_time=20.0, frame_skip=10)
+    mine.reset()
+    ref.reset()
+    for e in (mine, ref):
+        e.control_inputs.set_orientation(0.3)
+        e.control_inputs.set_velocity_speed_alpha(0.25, 0.1)
+    for i in range(10):
+        a = np.clip(
+            np.array([0.0, 0.0, -0.5] * 4) + 0.3 * np.sin(0.3 * i + np.arange(12)),
+            -1, 1,
+        )
+        om, rm, tm, _, im = mine.step(a.copy())
+        orf, rr, tr, _, ir = ref.step(a.copy())
+        np.testing.assert_allclose(om, orf, atol=1e-9)
+        np.testing.assert_allclose(rm, rr, atol=5e-6)
+        assert tm == tr
+        for k in mine.reward_keys:
+            np.testing.assert_allclose(im[k], ir[k], atol=5e-6)
+
+
+def test_po_env_shapes_and_reset_semantics():
+    env = POWalkingQuadrupedEnv(
+        obs_window=3, max_time=2.0, frame_skip=10, random_controls=True
+    )
+    obs, _ = env.reset()
+    assert obs.shape == (observations.PO_OBS_DIM * 3,)
+    # after reset the Madgwick quat is seeded from the true orientation
+    np.testing.assert_allclose(
+        env.computed_orientation, np.asarray(env.data.qpos[3:7]), atol=1e-12
+    )
+    obs, rew, term, trunc, info = env.step(np.zeros(12))
+    assert obs.shape == (observations.PO_OBS_DIM * 3,)
+    assert len(info) == len(env.reward_keys)
+
+
+def test_dummy_env_reward():
+    env = DummyWalkingQuadrupedEnv(max_time=1.0, frame_skip=10)
+    env.reset()
+    obs, rew, term, trunc, info = env.step(np.array([0.2, 0.0, -0.5] * 4))
+    assert set(info) == set(DummyWalkingQuadrupedEnv.reward_keys)
+    assert np.isfinite(rew)
+
+
+def test_vector_env_auto_reset():
+    pm = get_model()
+    cfg = walking.WalkingConfig(
+        max_time=0.02, frame_skip=2, random_controls=True, dtype=jnp.float32
+    )
+    venv = VectorWalkingEnv(pm, cfg, num_envs=3)
+    st, obs = venv.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (3, 33)
+    # 5 steps of 0.004s crosses the 0.02s time limit -> auto-reset fires
+    saw_done = False
+    for _ in range(6):
+        out = venv.step(st, jnp.zeros((3, 12), jnp.float32))
+        st = out.state
+        saw_done = saw_done or bool(out.done.any())
+    assert saw_done
+    # after auto-reset, time went back near zero
+    assert float(st.phys.time.min()) < 0.02
