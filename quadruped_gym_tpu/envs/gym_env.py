@@ -122,7 +122,7 @@ class VelocityHeadingControls:
             speed = np.random.uniform(min_speed, max_speed)
         self.set_velocity_speed_alpha(speed, alpha)
 
-    def as_command(self, dtype=jnp.float64) -> commands.Command:
+    def as_command(self, dtype=jnp.float32) -> commands.Command:
         return commands.Command(
             velocity=jnp.asarray(self.velocity.copy(), dtype),
             heading=jnp.asarray(self.heading.copy(), dtype),
@@ -157,8 +157,13 @@ class QuadrupedEnv(_BaseEnv):
         save_video: bool = False,
         video_path: str = "videos/simulation.mp4",
         use_default_termination: bool = True,
-        dtype=jnp.float64,
+        dtype=None,
     ):
+        # f64 gives oracle-exact parity when x64 is on; fall back to f32
+        # (TPU-native default) instead of warning-spamming truncation
+        if dtype is None:
+            import jax as _jax
+            dtype = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
         if gym is not None:
             super().__init__()
         self.model_path = model_path

@@ -71,7 +71,7 @@ def plan(
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         cmin = jnp.min(costs)
         w = jax.nn.softmax(-(costs - cmin) / cfg.temperature)
-        new_mean = jnp.einsum("s,shu->hu", w, seqs)
+        new_mean = jnp.einsum("s,shu->hu", w, seqs).astype(dtype)
         stats = (cmin, jnp.mean(costs), -jnp.sum(w * jnp.log(w + 1e-30)))
         return new_mean, stats
 
