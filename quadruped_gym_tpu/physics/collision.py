@@ -59,7 +59,16 @@ def plane_frame(m: PhysicsModel, dtype) -> jnp.ndarray:
 
 
 def collide(m: PhysicsModel, kin: Kin) -> Contacts:
-    """Generate plane contacts for every collidable geom (3 slots each)."""
+    """Generate plane contacts for every collidable geom (3 slots each).
+
+    HBM-traffic-aware formulation: every per-vertex quantity is a (V,)
+    array built from ``verts @ <3-vector>`` contractions — no (V, 3) world
+    intermediates, which on TPU would pad the minor dim 3 to a 128-lane
+    tile (42x wasted bandwidth; measured 15 GB/step at batch 4096 for the
+    naive form). Key identity: geom rotations are orthonormal, so
+    ``|w_i - w_j| == |v_i - v_j|`` and in-plane distances reduce to static
+    vertex-space norms plus height corrections.
+    """
     dt = kin.xpos.dtype
     n = _const(m.plane_normal, dt)
     plane_off = float(np.dot(m.plane_normal, m.plane_pos))
@@ -71,8 +80,10 @@ def collide(m: PhysicsModel, kin: Kin) -> Contacts:
         gpos = kin.xpos[b] + kin.xmat[b] @ _const(m.col_geom_pos[k], dt)
         gmat = kin.xmat[b] @ maths.quat_to_mat(_const(m.col_geom_quat[k], dt))
         verts = _const(m.col_hull_verts[k], dt)  # (V, 3) static constant
-        w = gpos + verts @ gmat.T  # (V, 3) world
-        h = w @ n - plane_off  # heights above plane
+        vnorm2 = _const(
+            np.sum(np.asarray(m.col_hull_verts[k]) ** 2, axis=1), dt
+        )  # (V,) static
+        h = verts @ (gmat.T @ n) + (gpos @ n - plane_off)  # (V,) heights
 
         margin = float(m.col_margin[k])
         theta2 = float(m.col_theta2[k])
@@ -80,29 +91,37 @@ def collide(m: PhysicsModel, kin: Kin) -> Contacts:
 
         i0 = jnp.argmin(h)
         h0 = h[i0]
-        p0 = w[i0]
+        v0 = verts[i0]  # (3,) local support vertex
+        p0 = gpos + gmat @ v0
         a0 = h0 < margin
 
         # candidates for extra points: height < 2*margin (oracle-calibrated)
         cand = h < 2.0 * margin
-        u = w - p0
-        u_plan = u - (u @ n)[:, None] * n  # in-plane offsets from support
-        dplan = jnp.linalg.norm(u_plan, axis=1)
+        # in-plane distance from support: |u_plan|^2 = |w - p0|^2 - (h-h0)^2
+        # and |w - p0|^2 = |v - v0|^2 (rotation preserves norms)
+        dv2 = vnorm2 - 2.0 * (verts @ v0) + v0 @ v0
+        dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0) ** 2, 0.0))
         neg = jnp.asarray(-1.0, dt)
         d_masked = jnp.where(cand, dplan, neg)
         i1 = jnp.argmax(d_masked)
         d1 = d_masked[i1]
         a1 = a0 & (d1 >= theta2)
-        p1 = w[i1]
+        v1 = verts[i1]
+        p1 = gpos + gmat @ v1
         h1 = h[i1]
 
         # third point: farthest from the support->second line (in plane)
-        t = u_plan[i1] / jnp.maximum(d1, 1e-12)
+        u1 = gmat @ (v1 - v0)  # = w1 - p0
+        t = (u1 - (h1 - h0) * n) / jnp.maximum(d1, 1e-12)
         perp = jnp.cross(n, t)
-        c_masked = jnp.where(cand, jnp.abs(u_plan @ perp), neg)
+        # u_plan @ perp == (w - p0) @ perp   (n @ perp == 0)
+        #              == (v - v0) @ (gmat.T @ perp)
+        g = gmat.T @ perp
+        c_masked = jnp.where(cand, jnp.abs(verts @ g - v0 @ g), neg)
         i2 = jnp.argmax(c_masked)
         a2 = a1 & (c_masked[i2] >= theta3)
-        p2 = w[i2]
+        v2 = verts[i2]
+        p2 = gpos + gmat @ v2
         h2 = h[i2]
 
         for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
