@@ -26,6 +26,34 @@ class VectorStepOutput(NamedTuple):
     reward_components: jnp.ndarray  # (N, 11)
 
 
+def autoreset_step(
+    m: PhysicsModel, cfg: walking.WalkingConfig, st: walking.WalkingState,
+    action: jnp.ndarray,
+) -> VectorStepOutput:
+    """One per-sample step with auto-reset on termination (vmap-able).
+
+    The returned reward/done describe the step that just happened; the state
+    and obs are post-reset when the episode ended. Persistent carries (the
+    frequency estimator and the frozen control-cost reference) survive the
+    reset, matching the reference env's behavior across episodes."""
+    out = walking.step(m, cfg, st, action)
+    key, sub = jax.random.split(out.state.key)
+    fresh, fresh_obs = walking.reset(
+        m, cfg, sub, persistent=(out.state.est, out.state.rew)
+    )
+    fresh = fresh._replace(key=key)
+    done = out.terminated
+    new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, out.state)
+    obs = jnp.where(done, fresh_obs, out.obs)
+    return VectorStepOutput(
+        state=new_state,
+        obs=obs,
+        reward=out.reward,
+        done=done,
+        reward_components=out.reward_components,
+    )
+
+
 class VectorWalkingEnv:
     """Batched auto-resetting environment with jitted reset/step."""
 
@@ -38,29 +66,10 @@ class VectorWalkingEnv:
         def _reset_one(key):
             return walking.reset(m, cfg, key)
 
-        def _step_one(st, action):
-            # inside vmap: everything below is per-sample, done is a scalar
-            out = walking.step(m, cfg, st, action)
-            key, sub = jax.random.split(out.state.key)
-            fresh, fresh_obs = walking.reset(
-                m, cfg, sub, persistent=(out.state.est, out.state.rew)
-            )
-            fresh = fresh._replace(key=key)
-            done = out.terminated
-            new_state = jax.tree.map(
-                lambda a, b: jnp.where(done, a, b), fresh, out.state
-            )
-            obs = jnp.where(done, fresh_obs, out.obs)
-            return VectorStepOutput(
-                state=new_state,
-                obs=obs,
-                reward=out.reward,
-                done=done,
-                reward_components=out.reward_components,
-            )
-
         self._reset = jax.jit(jax.vmap(_reset_one))
-        self._step = jax.jit(jax.vmap(_step_one))
+        self._step = jax.jit(
+            jax.vmap(lambda st, a: autoreset_step(m, cfg, st, a))
+        )
 
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)

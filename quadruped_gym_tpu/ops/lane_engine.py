@@ -1,0 +1,963 @@
+"""Lane-batched physics engine: the TPU throughput path.
+
+Same math as ``physics.engine`` (MuJoCo ``mj_step`` semantics: FK, CRBA,
+RNE bias, position-servo actuation, plane-convex contacts, primal Newton
+constraint solve, implicitfast integration — see those modules for the
+oracle-parity derivations and reference citations), but laid out for the
+TPU vector unit:
+
+  * the batch is the **minor** dim of every array — a per-robot scalar is a
+    ``(B,)`` lane vector, so nothing pads (AoS layouts pad 3/6/18-sized
+    minor dims to 128 lanes, wasting 7-42x of every register and HBM beat);
+  * all small-dimension structure (bodies, dofs, contacts) unrolls at trace
+    time into straight-line elementwise code XLA fuses into dense VPU loops;
+  * the mass/Hessian factorization is a **tree-sparse LDLᵀ** over the
+    kinematic-tree ancestor pattern (Featherstone) — ~700 fused
+    multiply-adds instead of a padded 18x18 dense Cholesky, and the contact
+    Hessian M + JᵀWJ has exactly the same sparsity (contacts couple a leg
+    only to itself and the free base), so one factorization routine serves
+    both;
+  * the Newton solve runs a fixed iteration count under ``lax.scan`` (no
+    per-env convergence branching — extra iterations are no-ops at the
+    optimum).
+
+Numerics are validated against the per-env engine (and transitively against
+CPU MuJoCo) in ``tests/test_lane_engine.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.spec import (
+    JNT_FREE,
+    JNT_HINGE,
+    SENSOR_ACCELEROMETER,
+    SENSOR_FRAMELINVEL,
+    SENSOR_FRAMEPOS,
+    SENSOR_FRAMEXAXIS,
+    SENSOR_FRAMEZAXIS,
+    SENSOR_GYRO,
+    SENSOR_JOINTPOS,
+    SENSOR_VELOCIMETER,
+    PhysicsModel,
+)
+from . import lane as L
+
+
+class LaneState(NamedTuple):
+    """Batched state, batch minor: each row is one lane vector."""
+
+    qpos: jnp.ndarray  # (nq, B)
+    qvel: jnp.ndarray  # (nv, B)
+    act: jnp.ndarray  # (na, B)
+    time: jnp.ndarray  # (B,)
+    sensordata: jnp.ndarray  # (nsensordata, B)
+
+
+def make_lane_state(m: PhysicsModel, batch: int, dtype=jnp.float32) -> LaneState:
+    qpos0 = jnp.asarray(np.asarray(m.qpos0), dtype)[:, None]
+    return LaneState(
+        qpos=jnp.broadcast_to(qpos0, (m.nq, batch)),
+        qvel=jnp.zeros((m.nv, batch), dtype),
+        act=jnp.zeros((m.na, batch), dtype),
+        time=jnp.zeros((batch,), dtype),
+        sensordata=jnp.zeros((m.nsensordata, batch), dtype),
+    )
+
+
+def from_batched(qpos, qvel, act, time, sensordata) -> LaneState:
+    """Convert leading-batch arrays (B, dim) to lane layout (dim, B)."""
+    return LaneState(
+        qpos=qpos.T, qvel=qvel.T, act=act.T, time=time, sensordata=sensordata.T
+    )
+
+
+def to_batched(ls: LaneState):
+    return (ls.qpos.T, ls.qvel.T, ls.act.T, ls.time, ls.sensordata.T)
+
+
+# --------------------------------------------------------------------------
+# static (host-side) model structure, cached per model
+
+
+@dataclasses.dataclass(frozen=True)
+class _Static:
+    root: int
+    dof_body: Tuple[int, ...]
+    dof_parent: Tuple[int, ...]  # previous dof on the kinematic path, -1=root
+    dof_chain: Tuple[Tuple[int, ...], ...]  # strict ancestors of each dof
+    children: Tuple[Tuple[int, ...], ...]
+    body_dofs: Tuple[Tuple[int, ...], ...]  # ancestor dofs per body (sorted)
+    m_pairs: Tuple[Tuple[int, int], ...]  # (i, j), j < i, j ancestor of i
+    plane_frame: Tuple[Tuple[float, float, float], ...]  # n, t1, t2
+    plane_off: float
+
+
+_STATIC_CACHE: dict = {}
+
+
+def _static(m: PhysicsModel) -> _Static:
+    key = id(m)
+    if key in _STATIC_CACHE:
+        return _STATIC_CACHE[key]
+    root = next(b for b in range(1, m.nbody) if m.body_parentid[b] == 0)
+
+    dof_body = []
+    for b in range(1, m.nbody):
+        dof_body += [b] * m.body_dofnum[b]
+    dof_body = tuple(dof_body)
+
+    def last_dof_of_ancestor(b):
+        p = m.body_parentid[b]
+        while p != 0:
+            if m.body_dofnum[p]:
+                return m.body_dofadr[p] + m.body_dofnum[p] - 1
+            p = m.body_parentid[p]
+        return -1
+
+    dof_parent = []
+    for b in range(1, m.nbody):
+        da, dn = m.body_dofadr[b], m.body_dofnum[b]
+        for k in range(dn):
+            dof_parent.append(da + k - 1 if k else last_dof_of_ancestor(b))
+    dof_parent = tuple(dof_parent)
+
+    dof_chain = []
+    for i in range(m.nv):
+        chain, p = [], dof_parent[i]
+        while p >= 0:
+            chain.append(p)
+            p = dof_parent[p]
+        dof_chain.append(tuple(chain))
+    dof_chain = tuple(dof_chain)
+
+    children = tuple(
+        tuple(c for c in range(1, m.nbody) if m.body_parentid[c] == b)
+        for b in range(m.nbody)
+    )
+
+    body_dofs = []
+    for b in range(m.nbody):
+        dofs, x = [], b
+        while x != 0:
+            da, dn = m.body_dofadr[x], m.body_dofnum[x]
+            dofs += list(range(da, da + dn))
+            x = m.body_parentid[x]
+        body_dofs.append(tuple(sorted(dofs)))
+    body_dofs = tuple(body_dofs)
+
+    m_pairs = tuple(
+        (i, j) for i in range(m.nv) for j in dof_chain[i]
+    )
+
+    n = np.asarray(m.plane_normal, np.float64)
+    ref = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0.0, 1, 0])
+    t1 = np.cross(n, ref)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(n, t1)
+    s = _Static(
+        root=root,
+        dof_body=dof_body,
+        dof_parent=dof_parent,
+        dof_chain=dof_chain,
+        children=children,
+        body_dofs=body_dofs,
+        m_pairs=m_pairs,
+        plane_frame=(tuple(n), tuple(t1), tuple(t2)),
+        plane_off=float(np.dot(n, np.asarray(m.plane_pos))),
+    )
+    _STATIC_CACHE[key] = s
+    return s
+
+
+def _f(x) -> float:
+    return float(x)
+
+
+def _v3c(a) -> Tuple[float, float, float]:
+    return (float(a[0]), float(a[1]), float(a[2]))
+
+
+def _quatc(a) -> Tuple[float, float, float, float]:
+    return (float(a[0]), float(a[1]), float(a[2]), float(a[3]))
+
+
+# --------------------------------------------------------------------------
+# forward kinematics + motion subspace
+
+
+class _Kin(NamedTuple):
+    xpos: tuple  # per body Vec3 of (B,)
+    xquat: tuple
+    xmat: tuple  # per body Mat3
+    xipos: tuple
+    ximat: tuple
+    origin: tuple  # Vec3
+
+
+def _fk(m: PhysicsModel, q) -> _Kin:
+    st = _static(m)
+    nb = m.nbody
+    xpos = [(0.0, 0.0, 0.0)] * nb
+    xquat = [(1.0, 0.0, 0.0, 0.0)] * nb
+
+    for b in range(1, nb):
+        p = m.body_parentid[b]
+        jadr = m.body_jntadr[b]
+        if jadr >= 0 and m.jnt_type[jadr] == JNT_FREE:
+            qa = m.jnt_qposadr[jadr]
+            xpos[b] = (q[qa], q[qa + 1], q[qa + 2])
+            xquat[b] = L.quat_normalize((q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6]))
+            continue
+        pos = L.v3_add(xpos[p], L.quat_rotate(xquat[p], _v3c(m.body_pos[b])))
+        quat = L.quat_mul(xquat[p], _quatc(m.body_quat[b]))
+        for k in range(m.body_jntnum[b]):
+            j = jadr + k
+            qa = m.jnt_qposadr[j]
+            angle = q[qa] - _f(m.qpos0[qa])
+            anchor_l = _v3c(m.jnt_pos[j])
+            anchor_w = L.v3_add(pos, L.quat_rotate(quat, anchor_l))
+            quat = L.quat_mul(quat, L.axis_angle_to_quat(_v3c(m.jnt_axis[j]), angle))
+            pos = L.v3_sub(anchor_w, L.quat_rotate(quat, anchor_l))
+        xpos[b] = pos
+        xquat[b] = quat
+
+    xmat = [L.quat_to_mat(xquat[b]) for b in range(nb)]
+    xipos = [
+        L.v3_add(xpos[b], L.mat_vec(xmat[b], _v3c(m.body_ipos[b])))
+        for b in range(nb)
+    ]
+    iquat_mats = [
+        tuple(tuple(float(v) for v in row) for row in _np_quat_mat(m.body_iquat[b]))
+        for b in range(nb)
+    ]
+    ximat = [L.mat_mul(xmat[b], iquat_mats[b]) for b in range(nb)]
+    return _Kin(
+        xpos=tuple(xpos),
+        xquat=tuple(xquat),
+        xmat=tuple(xmat),
+        xipos=tuple(xipos),
+        ximat=tuple(ximat),
+        origin=xpos[st.root],
+    )
+
+
+def _np_quat_mat(qc) -> np.ndarray:
+    w, x, y, z = (float(qc[0]), float(qc[1]), float(qc[2]), float(qc[3]))
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _subspace(m: PhysicsModel, kin: _Kin):
+    """Per-dof spatial motion vectors [angular; linear-at-origin]."""
+    rows = []
+    for j in range(m.njnt):
+        b = m.jnt_bodyid[j]
+        if m.jnt_type[j] == JNT_FREE:
+            for k in range(3):
+                e = [0.0, 0.0, 0.0]
+                e[k] = 1.0
+                rows.append((0.0, 0.0, 0.0, e[0], e[1], e[2]))
+            p = L.v3_sub(kin.xpos[b], kin.origin)
+            for k in range(3):
+                a = L.mat_col(kin.xmat[b], k)
+                rows.append(L.sv(a, L.v3_cross(p, a)))
+        else:
+            anchor = L.v3_sub(
+                L.v3_add(kin.xpos[b], L.mat_vec(kin.xmat[b], _v3c(m.jnt_pos[j]))),
+                kin.origin,
+            )
+            axis = L.mat_vec(kin.xmat[b], _v3c(m.jnt_axis[j]))
+            rows.append(L.sv(axis, L.v3_cross(anchor, axis)))
+    return tuple(rows)
+
+
+def _body_velocities(m: PhysicsModel, S, qv):
+    st = _static(m)
+    v = [(0.0,) * 6] * m.nbody
+    for b in range(1, m.nbody):
+        p = m.body_parentid[b]
+        da, dn = m.body_dofadr[b], m.body_dofnum[b]
+        acc = v[p]
+        for d in range(da, da + dn):
+            acc = L.sv_add(acc, L.sv_scale(qv[d], S[d]))
+        v[b] = acc
+    return tuple(v)
+
+
+def _spatial_inertias(m: PhysicsModel, kin: _Kin):
+    return [None] + [
+        L.spatial_inertia_world(
+            _f(m.body_mass[b]),
+            _v3c(m.body_inertia[b]),
+            kin.ximat[b],
+            L.v3_sub(kin.xipos[b], kin.origin),
+        )
+        for b in range(1, m.nbody)
+    ]
+
+
+def _crba(m: PhysicsModel, kin: _Kin, S, Ibody):
+    """Mass matrix as a sparse dict {(i, j): lane, j ancestor-or-self, j<=i}."""
+    st = _static(m)
+    Ic = [None] * m.nbody
+    for b in range(m.nbody - 1, 0, -1):
+        I = Ibody[b]
+        for c in st.children[b]:
+            I = tuple(
+                tuple(L.add(I[a][bb], Ic[c][a][bb]) for bb in range(6))
+                for a in range(6)
+            )
+        Ic[b] = I
+
+    F = [L.inertia_vec(Ic[st.dof_body[i]], S[i]) for i in range(m.nv)]
+    M = {}
+    for i in range(m.nv):
+        M[(i, i)] = L.add(L.sv_dot(S[i], F[i]), _f(m.dof_armature[i]))
+    for (i, j) in st.m_pairs:  # j strict ancestor of i
+        M[(i, j)] = L.sv_dot(S[j], F[i])
+    return M
+
+
+def _joint_bias_vel(m: PhysicsModel, qv, cvel, b):
+    p = m.body_parentid[b]
+    vJ = tuple(L.sub(cvel[b][i], cvel[p][i]) for i in range(6))
+    jadr = m.body_jntadr[b]
+    if jadr >= 0 and m.jnt_type[jadr] == JNT_FREE:
+        da = m.body_dofadr[b]
+        vJ = vJ[:3] + (
+            L.sub(vJ[3], qv[da]),
+            L.sub(vJ[4], qv[da + 1]),
+            L.sub(vJ[5], qv[da + 2]),
+        )
+    return vJ
+
+
+def _rne_bias(m: PhysicsModel, kin: _Kin, S, cvel, qv, Ibody):
+    st = _static(m)
+    g = _v3c(m.gravity)
+    base = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
+    acc = [base] * m.nbody
+    for b in range(1, m.nbody):
+        p = m.body_parentid[b]
+        acc[b] = L.sv_add(
+            acc[p], L.motion_cross(cvel[b], _joint_bias_vel(m, qv, cvel, b))
+        )
+    f = [None] * m.nbody
+    for b in range(1, m.nbody):
+        Ib = Ibody[b]
+        f[b] = L.sv_add(
+            L.inertia_vec(Ib, acc[b]),
+            L.force_cross(cvel[b], L.inertia_vec(Ib, cvel[b])),
+        )
+    fsub = [None] * m.nbody
+    for b in range(m.nbody - 1, 0, -1):
+        fb = f[b]
+        for c in st.children[b]:
+            fb = L.sv_add(fb, fsub[c])
+        fsub[b] = fb
+    return [L.sv_dot(S[i], fsub[st.dof_body[i]]) for i in range(m.nv)]
+
+
+def _body_accelerations(m: PhysicsModel, S, cvel, qv, qacc):
+    g = _v3c(m.gravity)
+    base = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
+    acc = [base] * m.nbody
+    for b in range(1, m.nbody):
+        p = m.body_parentid[b]
+        da, dn = m.body_dofadr[b], m.body_dofnum[b]
+        ab = acc[p]
+        for d in range(da, da + dn):
+            ab = L.sv_add(ab, L.sv_scale(qacc[d], S[d]))
+        acc[b] = L.sv_add(
+            ab, L.motion_cross(cvel[b], _joint_bias_vel(m, qv, cvel, b))
+        )
+    return acc
+
+
+# --------------------------------------------------------------------------
+# actuation
+
+
+def _actuation(m: PhysicsModel, q, qv, act):
+    qfrc = [0.0] * m.nv
+    dvel = [0.0] * m.nv
+    for u in range(m.nu):
+        j = m.actuator_trnid[u]
+        qa, da = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        gear = _f(m.actuator_gear[u])
+        gp = m.actuator_gainprm[u]
+        bp = m.actuator_biasprm[u]
+        force = L.add(
+            L.mul(_f(gp[0]), act[u]),
+            L.add(
+                _f(bp[0]),
+                L.add(
+                    L.mul(_f(bp[1]) * gear, q[qa]),
+                    L.mul(_f(bp[2]) * gear, qv[da]),
+                ),
+            ),
+        )
+        lo, hi = _f(m.actuator_forcerange[u][0]), _f(m.actuator_forcerange[u][1])
+        clamped = jnp.clip(force, lo, hi)
+        qfrc[da] = L.add(qfrc[da], L.mul(gear, clamped))
+        in_range = (force > lo) & (force < hi)
+        dvel[da] = L.add(
+            dvel[da], jnp.where(in_range, gear * gear * _f(bp[2]), 0.0)
+        )
+    return qfrc, dvel
+
+
+# --------------------------------------------------------------------------
+# tree-sparse LDLᵀ:  A = LᵀDL  with L unit-lower on the ancestor pattern
+
+
+def _ldl_factor(m: PhysicsModel, A: dict):
+    """Factor a tree-sparse SPD dict (consumed). Returns (Lfac, Dinv)."""
+    st = _static(m)
+    H = dict(A)
+    Lfac = {}
+    Dinv = [None] * m.nv
+    for k in range(m.nv - 1, -1, -1):
+        dinv = 1.0 / H[(k, k)]
+        Dinv[k] = dinv
+        i = st.dof_parent[k]
+        while i >= 0:
+            a = H[(k, i)] * dinv
+            j = i
+            while j >= 0:
+                H[(i, j)] = H[(i, j)] - a * H[(k, j)]
+                j = st.dof_parent[j]
+            Lfac[(k, i)] = a
+            i = st.dof_parent[i]
+    return Lfac, Dinv
+
+
+def _ldl_solve(m: PhysicsModel, Lfac, Dinv, b):
+    """Solve (LᵀDL) x = b for a lane-scalar list b."""
+    st = _static(m)
+    w = list(b)
+    for k in range(m.nv - 1, -1, -1):
+        i = st.dof_parent[k]
+        while i >= 0:
+            w[i] = w[i] - Lfac[(k, i)] * w[k]
+            i = st.dof_parent[i]
+    x = [w[k] * Dinv[k] for k in range(m.nv)]
+    for k in range(m.nv):
+        i = st.dof_parent[k]
+        while i >= 0:
+            x[k] = x[k] - Lfac[(k, i)] * x[i]
+            i = st.dof_parent[i]
+    return x
+
+
+def _sym_matvec(m: PhysicsModel, A: dict, x):
+    """y = A x for the tree-sparse symmetric dict."""
+    st = _static(m)
+    y = [A[(i, i)] * x[i] for i in range(m.nv)]
+    for (i, j) in st.m_pairs:
+        a = A[(i, j)]
+        y[i] = y[i] + a * x[j]
+        y[j] = y[j] + a * x[i]
+    return y
+
+
+# --------------------------------------------------------------------------
+# collision + constraint rows
+
+
+class _Rows(NamedTuple):
+    """Static-shape constraint rows, batch minor."""
+
+    # limits
+    lim_dadr: Tuple[int, ...]
+    lim_sign: tuple  # per row (B,)
+    # contact slots (pre-facet): per slot lane data
+    slot_body: Tuple[int, ...]
+    slot_mu: Tuple[float, ...]
+    slot_J: tuple  # per slot: (Jn, Jt1, Jt2), each {dof: (B,)}
+    # stacked per-row arrays (nrow = nlim + 4*nslot)
+    aref: jnp.ndarray  # (nrow, B)
+    D: jnp.ndarray  # (nrow, B)
+
+
+def _collide(m: PhysicsModel, kin: _Kin):
+    """Plane contacts per geom (3 slots each), lane-batched.
+
+    Same behavioral contract as ``physics.collision.collide`` (support
+    vertex exact, extra points by calibrated farthest-point rules)."""
+    st = _static(m)
+    n = st.plane_frame[0]
+    slots = []  # (pos Vec3, dist, active, bodyid, geomid)
+    for k in range(len(m.col_geom_bodyid)):
+        b = m.col_geom_bodyid[k]
+        gpos = L.v3_add(kin.xpos[b], L.mat_vec(kin.xmat[b], _v3c(m.col_geom_pos[k])))
+        gmat = L.mat_mul(
+            kin.xmat[b],
+            tuple(tuple(float(v) for v in row) for row in _np_quat_mat(m.col_geom_quat[k])),
+        )
+        verts = np.asarray(m.col_hull_verts[k])  # (V, 3) host
+        V = verts.shape[0]
+        vx = jnp.asarray(verts[:, 0], kin.origin[0].dtype)[:, None]
+        vy = jnp.asarray(verts[:, 1], kin.origin[0].dtype)[:, None]
+        vz = jnp.asarray(verts[:, 2], kin.origin[0].dtype)[:, None]
+        vn2 = jnp.asarray(np.sum(verts**2, axis=1), kin.origin[0].dtype)[:, None]
+
+        # a = gmatᵀ n (lane Vec3); h = verts @ a + (gpos.n - off)
+        a = L.mat_tvec(gmat, n)
+        base = L.v3_dot(gpos, n) - st.plane_off
+        h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]  # (V, B)
+
+        margin = _f(m.col_margin[k])
+        theta2 = _f(m.col_theta2[k])
+        theta3 = _f(m.col_theta3[k])
+        inc = _f(m.col_margin[k] - m.col_gap[k])
+
+        def vert_at(idx):  # gather local vertex (B,) triple
+            return (
+                jnp.take(vx[:, 0], idx),
+                jnp.take(vy[:, 0], idx),
+                jnp.take(vz[:, 0], idx),
+            )
+
+        i0 = jnp.argmin(h, axis=0)
+        h0 = jnp.take_along_axis(h, i0[None], axis=0)[0]
+        v0 = vert_at(i0)
+        p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
+        a0 = h0 < margin
+
+        cand = h < 2.0 * margin
+        # |u_plan|^2 = |v - v0|^2 - (h - h0)^2
+        vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]  # (V, B)
+        dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
+        dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
+        dmask = jnp.where(cand, dplan, -1.0)
+        i1 = jnp.argmax(dmask, axis=0)
+        d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
+        a1 = a0 & (d1 >= theta2)
+        v1 = vert_at(i1)
+        p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+        h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
+
+        u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+        inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+        dh = h1 - h0
+        t = tuple(
+            L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3)
+        )
+        perp = L.v3_cross(n, t)
+        g = L.mat_tvec(gmat, perp)
+        cdot = vx * g[0][None] + vy * g[1][None] + vz * g[2][None]
+        cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, g)[None]), -1.0)
+        i2 = jnp.argmax(cmask, axis=0)
+        c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
+        a2 = a1 & (c2 >= theta3)
+        v2 = vert_at(i2)
+        p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+        h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
+
+        for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+            pos = tuple(
+                L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3)
+            )
+            slots.append((pos, hi, ai & (hi < inc), b, k))
+    return slots
+
+
+def _impedance_np_params(solimp):
+    return tuple(float(x) for x in solimp)
+
+
+def _imp_lane(solimp, r):
+    d0, dmax, width, mid, power = solimp
+    x = jnp.clip(jnp.abs(r) / max(width, 1e-15), 0.0, 1.0)
+    a = 1.0 / mid ** (power - 1.0)
+    b = 1.0 / (1.0 - mid) ** (power - 1.0)
+    y = jnp.where(x < mid, a * x**power, 1.0 - b * (1.0 - x) ** power)
+    return d0 + y * (dmax - d0)
+
+
+def _kb_from_solref(solref, solimp):
+    tc, dr = float(solref[0]), float(solref[1])
+    dmax = float(solimp[1])
+    if tc > 0:
+        K = 1.0 / max(dmax**2 * tc**2 * dr**2, 1e-15)
+        B = 2.0 / max(dmax * tc, 1e-15)
+    else:
+        K, B = -tc, -dr
+    return K, B
+
+
+def _make_rows(m: PhysicsModel, kin: _Kin, S, q, qv, slots) -> _Rows:
+    st = _static(m)
+    n, t1, t2 = st.plane_frame
+    zero = jnp.zeros_like(q[0])
+
+    aref_rows, D_rows = [], []
+    lim_dadr, lim_sign = [], []
+
+    # ---- joint limits ----
+    for j in range(m.njnt):
+        if not m.jnt_limited[j]:
+            continue
+        qa, da = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        lo, hi = _f(m.jnt_range[j][0]), _f(m.jnt_range[j][1])
+        d_lo = q[qa] - lo
+        d_hi = hi - q[qa]
+        lower = d_lo <= d_hi
+        dist = jnp.where(lower, d_lo, d_hi)
+        sign = jnp.where(lower, 1.0, -1.0)
+        margin = _f(m.jnt_margin[j])
+        active = dist < margin
+        r = dist - margin
+        imp = _imp_lane(_impedance_np_params(m.jnt_solimp[j]), r)
+        K, B = _kb_from_solref(m.jnt_solref[j], m.jnt_solimp[j])
+        vel = sign * qv[da]
+        aref_rows.append(-B * vel - K * imp * r)
+        R = jnp.maximum((1.0 - imp) / imp * _f(m.dof_invweight0[da]), 1e-15)
+        D_rows.append(jnp.where(active, 1.0 / R, 0.0))
+        lim_dadr.append(da)
+        lim_sign.append(sign)
+
+    # ---- contact slots -> pyramidal facet rows ----
+    slot_body, slot_mu, slot_J = [], [], []
+    for (pos, dist, active, b, k) in slots:
+        rel = L.v3_sub(pos, kin.origin)
+        mu = _f(m.col_friction[k][0])
+        Jn, Jt1, Jt2 = {}, {}, {}
+        for v in st.body_dofs[b]:
+            Sang = L.sv_ang(S[v])
+            Slin = L.sv_lin(S[v])
+            c = L.v3_cross(Sang, rel)  # S_ang x rel; Jp.d = (c + S_lin).d
+            w = L.v3_add(c, Slin)
+            Jn[v] = L.v3_dot(w, n)
+            Jt1[v] = L.v3_dot(w, t1)
+            Jt2[v] = L.v3_dot(w, t2)
+        slot_body.append(b)
+        slot_mu.append(mu)
+        slot_J.append((Jn, Jt1, Jt2))
+
+        margin = _f(m.col_margin[k] - m.col_gap[k])
+        r = dist - margin
+        imp = _imp_lane(_impedance_np_params(m.col_solimp[k]), r)
+        K, B = _kb_from_solref(m.col_solref[k], m.col_solimp[k])
+        diagA = 2.0 * _f(m.body_invweight0[b][0]) * (1.0 + mu * mu)
+        R = jnp.maximum((1.0 - imp) / imp * diagA, 1e-15)
+        Dslot = jnp.where(active, 1.0 / R, 0.0)
+        # facet velocities: J_facet qvel = Jn.qv ± mu Jt.qv
+        vn, v1_, v2_ = 0.0, 0.0, 0.0
+        for v in Jn:
+            vn = L.add(vn, L.mul(Jn[v], qv[v]))
+            v1_ = L.add(v1_, L.mul(Jt1[v], qv[v]))
+            v2_ = L.add(v2_, L.mul(Jt2[v], qv[v]))
+        for sgn, vt in ((1.0, v1_), (-1.0, v1_), (1.0, v2_), (-1.0, v2_)):
+            vel = L.add(vn, L.mul(sgn * mu, vt))
+            aref_rows.append(L.sub(L.mul(-B, vel), K * imp * r))
+            D_rows.append(Dslot)
+
+    return _Rows(
+        lim_dadr=tuple(lim_dadr),
+        lim_sign=tuple(lim_sign),
+        slot_body=tuple(slot_body),
+        slot_mu=tuple(slot_mu),
+        slot_J=tuple(slot_J),
+        aref=jnp.stack(aref_rows),
+        D=jnp.stack(D_rows),
+    )
+
+
+def _rows_matvec(m: PhysicsModel, rows: _Rows, x) -> jnp.ndarray:
+    """J x: (nrow, B) from lane-scalar dof list x."""
+    out = [
+        L.mul(rows.lim_sign[i], x[rows.lim_dadr[i]])
+        for i in range(len(rows.lim_dadr))
+    ]
+    for s, (Jn, Jt1, Jt2) in enumerate(rows.slot_J):
+        mu = rows.slot_mu[s]
+        vn, v1, v2 = 0.0, 0.0, 0.0
+        for v in Jn:
+            vn = L.add(vn, L.mul(Jn[v], x[v]))
+            v1 = L.add(v1, L.mul(Jt1[v], x[v]))
+            v2 = L.add(v2, L.mul(Jt2[v], x[v]))
+        mv1 = L.mul(mu, v1)
+        mv2 = L.mul(mu, v2)
+        out += [
+            L.add(vn, mv1), L.sub(vn, mv1), L.add(vn, mv2), L.sub(vn, mv2)
+        ]
+    like = next(o for o in out if not L.is_static(o))
+    return L.stack_lanes(out, like)
+
+
+def _rows_tmatvec(m: PhysicsModel, rows: _Rows, y: jnp.ndarray):
+    """Jᵀ y: lane-scalar dof list from (nrow, B)."""
+    out = [0.0] * m.nv
+    nl = len(rows.lim_dadr)
+    for i in range(nl):
+        out[rows.lim_dadr[i]] = L.add(
+            out[rows.lim_dadr[i]], L.mul(rows.lim_sign[i], y[i])
+        )
+    for s, (Jn, Jt1, Jt2) in enumerate(rows.slot_J):
+        mu = rows.slot_mu[s]
+        r0 = nl + 4 * s
+        yn = y[r0] + y[r0 + 1] + y[r0 + 2] + y[r0 + 3]
+        y1 = mu * (y[r0] - y[r0 + 1])
+        y2 = mu * (y[r0 + 2] - y[r0 + 3])
+        for v in Jn:
+            out[v] = L.add(
+                out[v],
+                L.add(L.mul(Jn[v], yn),
+                      L.add(L.mul(Jt1[v], y1), L.mul(Jt2[v], y2))),
+            )
+    out = [L.as_lane(o, y[0]) for o in out]
+    return out
+
+
+def _add_jwj(m: PhysicsModel, M: dict, rows: _Rows, w: jnp.ndarray) -> dict:
+    """H = M + Jᵀ diag(w) J on the tree-sparse pattern.
+
+    Exploits facet structure: the 4 pyramid rows of a slot share Jn/Jt, so
+    Σ_f w_f J_f J_fᵀ expands into 5 outer products with scalar lane coeffs.
+    """
+    st = _static(m)
+    H = dict(M)
+    nl = len(rows.lim_dadr)
+    for i in range(nl):
+        da = rows.lim_dadr[i]
+        H[(da, da)] = H[(da, da)] + w[i]  # sign^2 == 1
+    for s, (Jn, Jt1, Jt2) in enumerate(rows.slot_J):
+        mu = rows.slot_mu[s]
+        r0 = nl + 4 * s
+        w1, w2, w3, w4 = w[r0], w[r0 + 1], w[r0 + 2], w[r0 + 3]
+        cnn = w1 + w2 + w3 + w4
+        c11 = mu * mu * (w1 + w2)
+        c22 = mu * mu * (w3 + w4)
+        cn1 = mu * (w1 - w2)
+        cn2 = mu * (w3 - w4)
+        dofs = st.body_dofs[rows.slot_body[s]]
+        for ii, i in enumerate(dofs):
+            for j in dofs[: ii + 1]:
+                val = L.add(
+                    L.add(
+                        L.add(
+                            L.mul(cnn, L.mul(Jn[i], Jn[j])),
+                            L.mul(c11, L.mul(Jt1[i], Jt1[j])),
+                        ),
+                        L.mul(c22, L.mul(Jt2[i], Jt2[j])),
+                    ),
+                    L.add(
+                        L.mul(cn1, L.add(L.mul(Jn[i], Jt1[j]),
+                                         L.mul(Jt1[i], Jn[j]))),
+                        L.mul(cn2, L.add(L.mul(Jn[i], Jt2[j]),
+                                         L.mul(Jt2[i], Jn[j]))),
+                    ),
+                )
+                H[(i, j)] = L.add(H[(i, j)], val)
+    return H
+
+
+# --------------------------------------------------------------------------
+# the step
+
+
+def _forward_core(m: PhysicsModel, q, qv, act):
+    kin = _fk(m, q)
+    S = _subspace(m, kin)
+    cvel = _body_velocities(m, S, qv)
+    Ibody = _spatial_inertias(m, kin)
+    M = _crba(m, kin, S, Ibody)
+    bias = _rne_bias(m, kin, S, cvel, qv, Ibody)
+    qfrc_act, dvel = _actuation(m, q, qv, act)
+    qfrc_smooth = [
+        L.sub(L.sub(qfrc_act[i], L.mul(_f(m.dof_damping[i]), qv[i])), bias[i])
+        for i in range(m.nv)
+    ]
+    return kin, S, cvel, M, qfrc_smooth, dvel
+
+
+def _newton_solve(m, M, rows: _Rows, qacc_smooth, iterations, ls_iterations):
+    """Fixed-iteration primal Newton (same objective as physics.solver)."""
+    nv = m.nv
+
+    def body(xs, _):
+        x = [xs[i] for i in range(nv)]
+        jar = _rows_matvec(m, rows, x) - rows.aref  # (nrow, B)
+        w = jnp.where((jar < 0.0) & (rows.D > 0.0), rows.D, 0.0)
+        g_smooth = _sym_matvec(m, M, [x[i] - qacc_smooth[i] for i in range(nv)])
+        jt = _rows_tmatvec(m, rows, w * jar)
+        g = [g_smooth[i] + jt[i] for i in range(nv)]
+        H = _add_jwj(m, M, rows, w)
+        Lfac, Dinv = _ldl_factor(m, H)
+        dx = _ldl_solve(m, Lfac, Dinv, [-g[i] for i in range(nv)])
+
+        Jdx = _rows_matvec(m, rows, dx)  # (nrow, B)
+        mdx = _sym_matvec(m, M, dx)
+        g0 = sum(dx[i] * g_smooth[i] for i in range(nv))
+        h0 = sum(dx[i] * mdx[i] for i in range(nv))
+
+        def ls_body(t, _):
+            jar_t = jar + t[None] * Jdx
+            w_t = jnp.where((jar_t < 0.0) & (rows.D > 0.0), rows.D, 0.0)
+            dphi = g0 + t * h0 + jnp.sum(w_t * jar_t * Jdx, axis=0)
+            ddphi = h0 + jnp.sum(w_t * Jdx * Jdx, axis=0)
+            return jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-30), 0.0, 4.0), None
+
+        t0 = jnp.ones_like(xs[0])
+        t, _ = jax.lax.scan(ls_body, t0, None, length=ls_iterations)
+        x_new = jnp.stack([x[i] + t * dx[i] for i in range(nv)])
+        return x_new, None
+
+    xs0 = jnp.stack(qacc_smooth)
+    xs, _ = jax.lax.scan(body, xs0, None, length=iterations)
+    x = [xs[i] for i in range(nv)]
+    jar = _rows_matvec(m, rows, x) - rows.aref
+    force = jnp.where((jar < 0.0) & (rows.D > 0.0), -rows.D * jar, 0.0)
+    qfrc = _rows_tmatvec(m, rows, force)
+    return x, qfrc
+
+
+def _sensors(m: PhysicsModel, kin: _Kin, cvel, cacc, q):
+    b = m.site_bodyid
+    spos = L.v3_add(kin.xpos[b], L.mat_vec(kin.xmat[b], _v3c(m.site_pos)))
+    smat = L.mat_mul(
+        kin.xmat[b],
+        tuple(tuple(float(v) for v in row) for row in _np_quat_mat(m.site_quat)),
+    )
+    w = L.sv_ang(cvel[b])
+    v0 = L.sv_lin(cvel[b])
+    p = L.v3_sub(spos, kin.origin)
+    v_site = L.v3_add(v0, L.v3_cross(w, p))
+    alpha = L.sv_ang(cacc[b])
+    a0 = L.sv_lin(cacc[b])
+    a_site = L.v3_add(a0, L.v3_add(L.v3_cross(alpha, p), L.v3_cross(w, v_site)))
+
+    out = [None] * m.nsensordata
+    for s in m.sensors:
+        if s.kind == SENSOR_JOINTPOS:
+            out[s.adr] = q[m.jnt_qposadr[s.objid]]
+        elif s.kind == SENSOR_ACCELEROMETER:
+            r = L.mat_tvec(smat, a_site)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_GYRO:
+            r = L.mat_tvec(smat, w)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_FRAMEPOS:
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = spos
+        elif s.kind == SENSOR_FRAMELINVEL:
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = v_site
+        elif s.kind == SENSOR_FRAMEXAXIS:
+            r = L.mat_col(smat, 0)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_FRAMEZAXIS:
+            r = L.mat_col(smat, 2)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_VELOCIMETER:
+            r = L.mat_tvec(smat, v_site)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        else:
+            raise NotImplementedError(f"sensor kind {s.kind}")
+    return jnp.stack(out)
+
+
+def step(
+    m: PhysicsModel,
+    ls: LaneState,
+    ctrl: jnp.ndarray,  # (nu, B)
+    solver_iterations: int = 4,
+    ls_iterations: int = 8,
+) -> LaneState:
+    """One physics step (mj_step semantics, implicitfast integrator)."""
+    h = m.timestep
+    nq, nv, na = m.nq, m.nv, m.na
+    q = [ls.qpos[i] for i in range(nq)]
+    qv = [ls.qvel[i] for i in range(nv)]
+    act = [ls.act[i] for i in range(na)]
+    ctrl_l = [
+        jnp.clip(ctrl[u], _f(m.actuator_ctrlrange[u][0]), _f(m.actuator_ctrlrange[u][1]))
+        for u in range(m.nu)
+    ]
+
+    kin, S, cvel, M, qfrc_smooth, dvel = _forward_core(m, q, qv, act)
+
+    Lfac, Dinv = _ldl_factor(m, M)
+    qacc_smooth = _ldl_solve(m, Lfac, Dinv, qfrc_smooth)
+
+    slots = _collide(m, kin)
+    rows = _make_rows(m, kin, S, q, qv, slots)
+    if solver_iterations > 0:
+        qacc, _ = _newton_solve(
+            m, M, rows, qacc_smooth, solver_iterations, ls_iterations
+        )
+    else:
+        qacc = qacc_smooth
+
+    # sensors at the pre-integration state (mj_step ordering)
+    cacc = _body_accelerations(m, S, cvel, qv, qacc)
+    sens = _sensors(m, kin, cvel, cacc, q)
+
+    # implicitfast velocity update: (M - h diag(D)) dv = h M qacc
+    Mhat = dict(M)
+    for i in range(nv):
+        Dv = -_f(m.dof_damping[i]) + dvel[i]
+        Mhat[(i, i)] = Mhat[(i, i)] - h * Dv
+    Lh, Dh = _ldl_factor(m, Mhat)
+    Mqacc = _sym_matvec(m, M, qacc)
+    dv = _ldl_solve(m, Lh, Dh, [h * Mqacc[i] for i in range(nv)])
+    qv_new = [qv[i] + dv[i] for i in range(nv)]
+
+    # activation exact filter
+    act_new = []
+    for u in range(m.na):
+        tau = max(_f(m.actuator_dynprm[u][0]), 1e-12)
+        coef = 1.0 - float(np.exp(-h / tau))
+        act_new.append(act[u] + (ctrl_l[u] - act[u]) * coef)
+
+    # integrate positions with the new velocity
+    q_new = list(q)
+    for j in range(m.njnt):
+        qa, da = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if m.jnt_type[j] == JNT_FREE:
+            for k in range(3):
+                q_new[qa + k] = q[qa + k] + h * qv_new[da + k]
+            quat = L.quat_integrate(
+                (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6]),
+                (qv_new[da + 3], qv_new[da + 4], qv_new[da + 5]),
+                h,
+            )
+            for k in range(4):
+                q_new[qa + 3 + k] = quat[k]
+        else:
+            q_new[qa] = q[qa] + h * qv_new[da]
+
+    return LaneState(
+        qpos=jnp.stack(q_new),
+        qvel=jnp.stack(qv_new),
+        act=jnp.stack(act_new) if act_new else ls.act,
+        time=ls.time + h,
+        sensordata=sens,
+    )
+
+
+def control_step(
+    m: PhysicsModel,
+    ls: LaneState,
+    ctrl: jnp.ndarray,  # (nu, B)
+    frame_skip: int,
+    solver_iterations: int = 4,
+    ls_iterations: int = 8,
+) -> LaneState:
+    """frame_skip physics substeps under constant control."""
+
+    def body(s, _):
+        return step(m, s, ctrl, solver_iterations, ls_iterations), None
+
+    out, _ = jax.lax.scan(body, ls, None, length=frame_skip)
+    return out

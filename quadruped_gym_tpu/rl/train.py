@@ -1,0 +1,131 @@
+"""PPO training entry point (reference L5: ``src/train_quadruped.py``).
+
+Same workflow contract as the reference: an output folder with
+``logs/ plots/ policy checkpoints``, crash-resumable iteration loop
+(policy + step counter persisted every iteration,
+``train_quadruped.py:114-141``), per-step reward-component CSV rows
+(``:86-110``) and per-iteration reward plots (``:160-164``) — but the
+inner loop is thousands of on-device envs instead of 10 processes.
+
+Run:  python -m quadruped_gym_tpu.rl.train --output runs/ppo_v1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..models import spec
+from ..runtime import checkpoint
+from ..tasks import commands, walking
+from ..tasks.rewards import REWARD_KEYS
+from ..utils import metrics as metrics_mod
+from ..utils import plot as plot_mod
+from . import ppo
+
+
+def make_env_config(args) -> walking.WalkingConfig:
+    # training env of the reference (train_quadruped.py:15-27, options :40-47)
+    return walking.WalkingConfig(
+        max_time=args.max_time,
+        frame_skip=args.frame_skip,
+        obs_window=args.obs_window,
+        partial_obs=not args.full_obs,
+        random_controls=True,
+        reset_options=commands.SampleOptions.from_dict({
+            "fixed_heading_angle": 0.0,
+            "fixed_velocity_angle": 0.0,
+            "fixed_speed": 0.3,
+        }),
+        max_contacts=args.max_contacts,
+        solver_iterations=args.solver_iterations,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--output", default="runs/ppo")
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--timesteps-per-iteration", type=int, default=500_000)
+    p.add_argument("--num-envs", type=int, default=2048)
+    p.add_argument("--num-steps", type=int, default=32)
+    p.add_argument("--max-time", type=float, default=20.0)
+    p.add_argument("--frame-skip", type=int, default=10)
+    p.add_argument("--obs-window", type=int, default=10)
+    p.add_argument("--full-obs", action="store_true")
+    p.add_argument("--max-contacts", type=int, default=12)
+    p.add_argument("--solver-iterations", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dashboard", action="store_true",
+                   help="serve live metrics on :8050")
+    args = p.parse_args(argv)
+
+    out = args.output
+    os.makedirs(os.path.join(out, "logs"), exist_ok=True)
+    os.makedirs(os.path.join(out, "plots"), exist_ok=True)
+
+    m = spec.get_model(collision_geom_prefixes=spec.MPC_COLLISION_PREFIXES)
+    env_cfg = make_env_config(args)
+    cfg = ppo.PPOConfig(num_envs=args.num_envs, num_steps=args.num_steps)
+
+    ts = ppo.init_train_state(m, env_cfg, cfg, jax.random.PRNGKey(args.seed))
+    ckpt_dir = os.path.join(out, "policy")
+    start_iter = 0
+    if checkpoint.exists(ckpt_dir):  # crash resume (train_quadruped.py:117-127)
+        ts, step = checkpoint.restore(ckpt_dir, ts)
+        start_iter = int(step or 0)
+        print(f"resumed from {ckpt_dir} at iteration {start_iter}")
+
+    csv_path = os.path.join(out, "rewards_continuous.csv")
+    logger = metrics_mod.RewardCSVLogger(csv_path)
+    if args.dashboard:
+        from ..utils.server import launch_dash
+
+        launch_dash(csv_path, block=False)
+        print("dashboard on :8050")
+
+    updates_per_iter = max(
+        1, args.timesteps_per_iteration // cfg.batch_size
+    )
+    train = jax.jit(
+        lambda t: ppo.train_chunk(m, env_cfg, cfg, t, updates_per_iter)
+    )
+
+    for it in range(start_iter, start_iter + args.iterations):
+        t0 = time.perf_counter()
+        ts, history = train(ts)
+        jax.block_until_ready(ts.params)
+        dt = time.perf_counter() - t0
+        steps_done = updates_per_iter * cfg.batch_size
+        comp = np.asarray(history.reward_components)  # (updates, 11)
+        logger.log_many(it * updates_per_iter, comp)
+        checkpoint.save(ckpt_dir, ts, step=it + 1)
+
+        mean_r = float(np.mean(np.asarray(history.mean_reward)))
+        print(
+            f"iter {it}: {steps_done} steps in {dt:.1f}s "
+            f"({steps_done/dt:,.0f} steps/s), mean step reward {mean_r:.2f}, "
+            f"kl {float(history.approx_kl[-1]):.4f}"
+        )
+
+        # per-iteration artifacts (train_quadruped.py:143-164)
+        steps, totals, allcomp, keys = metrics_mod.read_reward_csv(csv_path)
+        plot_mod.plot_data_line(
+            totals, window=50, title="Mean step reward",
+            save_path=os.path.join(out, "plots", f"reward_plot_{it}.png"),
+        )
+        plot_mod.plot_reward_components(
+            allcomp, keys,
+            os.path.join(out, "plots", f"reward_components_{it}.html"),
+        )
+
+    logger.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
