@@ -507,27 +507,28 @@ def _collide(m: PhysicsModel, kin: _Kin):
         )
         verts = np.asarray(m.col_hull_verts[k])  # (V, 3) host
         V = verts.shape[0]
-        vx = jnp.asarray(verts[:, 0], kin.origin[0].dtype)[:, None]
-        vy = jnp.asarray(verts[:, 1], kin.origin[0].dtype)[:, None]
-        vz = jnp.asarray(verts[:, 2], kin.origin[0].dtype)[:, None]
-        vn2 = jnp.asarray(np.sum(verts**2, axis=1), kin.origin[0].dtype)[:, None]
+        dt = kin.origin[0].dtype
+        lane_ndim = jnp.ndim(kin.origin[0])
+        vshape = (V,) + (1,) * lane_ndim  # broadcast against lane scalars
+        vx = jnp.asarray(verts[:, 0], dt).reshape(vshape)
+        vy = jnp.asarray(verts[:, 1], dt).reshape(vshape)
+        vz = jnp.asarray(verts[:, 2], dt).reshape(vshape)
+        vn2 = jnp.asarray(np.sum(verts**2, axis=1), dt).reshape(vshape)
 
         # a = gmatᵀ n (lane Vec3); h = verts @ a + (gpos.n - off)
         a = L.mat_tvec(gmat, n)
         base = L.v3_dot(gpos, n) - st.plane_off
-        h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]  # (V, B)
+        h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
 
         margin = _f(m.col_margin[k])
         theta2 = _f(m.col_theta2[k])
         theta3 = _f(m.col_theta3[k])
         inc = _f(m.col_margin[k] - m.col_gap[k])
 
-        def vert_at(idx):  # gather local vertex (B,) triple
-            return (
-                jnp.take(vx[:, 0], idx),
-                jnp.take(vy[:, 0], idx),
-                jnp.take(vz[:, 0], idx),
-            )
+        vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
+
+        def vert_at(idx):  # gather local vertex, lane-shaped triple
+            return tuple(jnp.take(vf, idx) for vf in vflat)
 
         i0 = jnp.argmin(h, axis=0)
         h0 = jnp.take_along_axis(h, i0[None], axis=0)[0]
@@ -867,14 +868,14 @@ def _sensors(m: PhysicsModel, kin: _Kin, cvel, cacc, q):
     return jnp.stack(out)
 
 
-def step(
+def _step_impl(
     m: PhysicsModel,
     ls: LaneState,
-    ctrl: jnp.ndarray,  # (nu, B)
+    ctrl: jnp.ndarray,
     solver_iterations: int = 4,
     ls_iterations: int = 8,
 ) -> LaneState:
-    """One physics step (mj_step semantics, implicitfast integrator)."""
+    """One physics step on arbitrarily-shaped lane scalars."""
     h = m.timestep
     nq, nv, na = m.nq, m.nv, m.na
     q = [ls.qpos[i] for i in range(nq)]
@@ -946,6 +947,56 @@ def step(
     )
 
 
+LANE_TILE = 128
+
+
+def _tile(x: jnp.ndarray) -> jnp.ndarray:
+    """(dims..., B) -> (dims..., B/128, 128): full (8,128) vreg utilization.
+
+    A 1-D (B,) lane vector lays out as (1, B) on TPU and pads the sublane
+    dim 1 up to 8 — 8x wasted registers and HBM beats on every op. Folding
+    the batch into (B/128, 128) makes the two minor dims exactly tile-shaped.
+    """
+    B = x.shape[-1]
+    if B % LANE_TILE:
+        return x  # odd batch: fall back to the flat layout
+    return x.reshape(x.shape[:-1] + (B // LANE_TILE, LANE_TILE))
+
+
+def _untile(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def _tile_state(ls: LaneState) -> LaneState:
+    return jax.tree.map(_tile, ls)
+
+
+def _untile_state(ls: LaneState) -> LaneState:
+    return jax.tree.map(_untile, ls)
+
+
+def step(
+    m: PhysicsModel,
+    ls: LaneState,
+    ctrl: jnp.ndarray,  # (nu, B)
+    solver_iterations: int = 4,
+    ls_iterations: int = 8,
+    tile: bool = False,
+) -> LaneState:
+    """One physics step (mj_step semantics, implicitfast integrator).
+
+    ``tile`` folds the batch into (B/128, 128) minor dims; measured slower
+    than the flat layout on v5e (XLA already handles 1-D lanes well and the
+    reshapes cost more than the sublane padding saves), so off by default.
+    """
+    if tile and ls.qpos.shape[-1] % LANE_TILE == 0:
+        out = _step_impl(
+            m, _tile_state(ls), _tile(ctrl), solver_iterations, ls_iterations
+        )
+        return _untile_state(out)
+    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)
+
+
 def control_step(
     m: PhysicsModel,
     ls: LaneState,
@@ -953,11 +1004,16 @@ def control_step(
     frame_skip: int,
     solver_iterations: int = 4,
     ls_iterations: int = 8,
+    tile: bool = False,
 ) -> LaneState:
     """frame_skip physics substeps under constant control."""
+    tiled = tile and ls.qpos.shape[-1] % LANE_TILE == 0
+    if tiled:
+        ls = _tile_state(ls)
+        ctrl = _tile(ctrl)
 
     def body(s, _):
-        return step(m, s, ctrl, solver_iterations, ls_iterations), None
+        return _step_impl(m, s, ctrl, solver_iterations, ls_iterations), None
 
     out, _ = jax.lax.scan(body, ls, None, length=frame_skip)
-    return out
+    return _untile_state(out) if tiled else out

@@ -83,9 +83,13 @@ def axis_angle_to_quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 
 def quat_integrate(q: jnp.ndarray, omega_local: jnp.ndarray, dt) -> jnp.ndarray:
     """Integrate quaternion by angular velocity expressed in the local frame
-    over dt, matching MuJoCo's mju_quatIntegrate (exact exponential map)."""
-    angle = jnp.linalg.norm(omega_local, axis=-1)
-    # Safe unit axis: fall back to x-axis when angle ~ 0 (sin(0)=0 kills it).
+    over dt, matching MuJoCo's mju_quatIntegrate (exact exponential map).
+
+    AD-safe at omega == 0: the norm is computed through a where-guard so the
+    gradient (needed by iLQR's cost expansion through state_add) is finite."""
+    n2 = jnp.sum(omega_local * omega_local, axis=-1)
+    nonzero = n2 > 0.0
+    angle = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
     safe = jnp.maximum(angle, 1e-30)
     axis = omega_local / safe[..., None]
     dq = axis_angle_to_quat(axis, angle * dt)

@@ -1,0 +1,294 @@
+"""iLQR trajectory optimization over the contact dynamics.
+
+The gradient-based companion to the sampling solvers (SURVEY.md §7.4):
+linearize the *full* step (contacts included) with batched central finite
+differences — the same device-friendly choice as MuJoCo MPC's
+``mjd_transitionFD``, and the only sound one here since the per-env contact
+solve iterates data-dependently — then run a regularized Riccati backward
+pass and a parallel-line-search forward pass.
+
+TPU mapping: the FD linearization is one vmapped batch of
+``H x 2 x (2 nv + nu)`` physics steps (the hot part — pure data
+parallelism, shardable over chips exactly like MPPI samples), the backward
+pass is a ``lax.scan`` of tiny MXU matmuls, and the forward line search
+evaluates all step sizes as one vmapped rollout batch, picking the best on
+device. Controls clamp to the actuator range in every rollout (box-iLQR
+via clamped forward passes).
+
+State tangent space: 2*nv + na = 48 dims — quaternions perturb through
+the exponential map (matching MuJoCo's mj_differentiatePos/
+mj_integratePos), and actuator activations are part of the state (the
+position servos are filtered, so controls act on the dynamics only
+through ``act``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.spec import JNT_FREE, PhysicsModel
+from ..physics import engine, maths, sensors, smooth
+from ..tasks.commands import Command
+from . import rollout as rollout_mod
+
+
+# --- state tangent-space helpers (mj_integratePos / mj_differentiatePos) --
+
+
+def tangent_dim(m: PhysicsModel) -> int:
+    """2*nv + na: position tangent, velocity, and actuator activations.
+
+    Activations MUST be part of the iLQR state: the position servos are
+    filtered (dyntype=filterexact), so within one substep the control only
+    moves ``act`` — without it the FD control Jacobian B is identically
+    zero and the solver cannot move."""
+    return 2 * m.nv + m.na
+
+
+def state_add(m: PhysicsModel, state: engine.State, dx: jnp.ndarray) -> engine.State:
+    """Perturb (qpos, qvel, act) by a tangent vector of size 2*nv + na."""
+    dq, dv = dx[: m.nv], dx[m.nv : 2 * m.nv]
+    da_ = dx[2 * m.nv :]
+    qpos = state.qpos
+    for j in range(m.njnt):
+        qa, da = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if m.jnt_type[j] == JNT_FREE:
+            qpos = qpos.at[qa : qa + 3].add(dq[da : da + 3])
+            quat = maths.quat_integrate(qpos[qa + 3 : qa + 7], dq[da + 3 : da + 6], 1.0)
+            qpos = qpos.at[qa + 3 : qa + 7].set(quat)
+        else:
+            qpos = qpos.at[qa].add(dq[da])
+    return state._replace(qpos=qpos, qvel=state.qvel + dv, act=state.act + da_)
+
+
+def state_diff(m: PhysicsModel, a: engine.State, b: engine.State) -> jnp.ndarray:
+    """Tangent vector from b to a (a ⊖ b), size 2*nv + na."""
+    dq = jnp.zeros(m.nv, a.qpos.dtype)
+    for j in range(m.njnt):
+        qa, da = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if m.jnt_type[j] == JNT_FREE:
+            dq = dq.at[da : da + 3].set(a.qpos[qa : qa + 3] - b.qpos[qa : qa + 3])
+            # relative rotation b -> a in b's local frame (expmap log)
+            qrel = maths.quat_mul(
+                maths.quat_conj(b.qpos[qa + 3 : qa + 7]), a.qpos[qa + 3 : qa + 7]
+            )
+            qrel = qrel * jnp.sign(qrel[0] + 1e-30)
+            sin_half = jnp.linalg.norm(qrel[1:])
+            angle = 2.0 * jnp.arctan2(sin_half, qrel[0])
+            axis = qrel[1:] / jnp.maximum(sin_half, 1e-30)
+            dq = dq.at[da + 3 : da + 6].set(axis * angle)
+        else:
+            dq = dq.at[da].set(a.qpos[qa] - b.qpos[qa])
+    return jnp.concatenate([dq, a.qvel - b.qvel, a.act - b.act])
+
+
+# --- differentiable stage cost as a function of state --------------------
+
+
+def smooth_sensordata(m: PhysicsModel, state: engine.State) -> jnp.ndarray:
+    """Sensor vector from (qpos, qvel) alone — no contact solve, fully
+    AD-differentiable. Identical to the stepped sensordata for every slot
+    the planning cost reads (positions, axes, velocities); only the
+    accelerometer (which needs qacc and which no cost uses) is zeroed."""
+    kin = smooth.fwd_position(m, state.qpos)
+    S = smooth.dof_subspace(m, kin)
+    cvel = smooth.body_velocities(m, S, state.qvel)
+    cacc = jnp.zeros_like(cvel)
+    return sensors.evaluate(m, kin, cvel, cacc, state.qpos)
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    iterations: int = 8
+    rollout: rollout_mod.RolloutConfig = rollout_mod.RolloutConfig()
+    fd_eps: float = 1e-5
+    reg_init: float = 1e-4
+    reg_factor: float = 4.0
+    reg_max: float = 1e3
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003, 0.0)
+
+
+class ILQRResult(NamedTuple):
+    ctrl_seq: jnp.ndarray  # (H, nu) optimized, clamped
+    cost: jnp.ndarray  # () final trajectory cost
+    initial_cost: jnp.ndarray
+    reg: jnp.ndarray
+
+
+def _clamp(m: PhysicsModel, u: jnp.ndarray) -> jnp.ndarray:
+    lo = jnp.asarray(np.asarray(m.actuator_ctrlrange[:, 0]), u.dtype)
+    hi = jnp.asarray(np.asarray(m.actuator_ctrlrange[:, 1]), u.dtype)
+    return jnp.clip(u, lo, hi)
+
+
+def solve(
+    m: PhysicsModel,
+    cfg: ILQRConfig,
+    cost_fn: rollout_mod.CostFn,
+    state0: engine.State,
+    ctrl_seq: jnp.ndarray,  # (H, nu) initial guess
+    cmd: Command,
+    prev_ctrl0: jnp.ndarray,
+) -> ILQRResult:
+    H, nu = ctrl_seq.shape
+    nx = tangent_dim(m)
+    dt = ctrl_seq.dtype
+    rcfg = cfg.rollout
+
+    def step_fn(st: engine.State, u: jnp.ndarray) -> engine.State:
+        return engine.control_step(
+            m, st, u, rcfg.frame_skip,
+            max_contacts=rcfg.max_contacts,
+            solver_iterations=rcfg.solver_iterations,
+        )
+
+    def stage_cost_x(st: engine.State, u, prev_u):
+        return cost_fn(smooth_sensordata(m, st), u, prev_u, cmd)
+
+    def traj_rollout(us):
+        """Nominal rollout; returns (states pytree stacked over H, cost)."""
+        def body(carry, u):
+            st, prev = carry
+            st2 = step_fn(st, u)
+            c = cost_fn(st2.sensordata, u, prev, cmd)
+            return (st2, u), (st2, c)
+        (_, _), (states, costs) = jax.lax.scan(body, (state0, prev_ctrl0), us)
+        return states, jnp.sum(costs)
+
+    def linearize(states, us):
+        """A (H, nx, nx), B (H, nx, nu) by central FD, all steps batched."""
+        prev_states = jax.tree.map(
+            lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
+            state0, states,
+        )
+        eps = cfg.fd_eps
+
+        def fd_one(st, u):
+            def fx(dx):
+                p = step_fn(state_add(m, st, dx), u)
+                q = step_fn(state_add(m, st, -dx), u)
+                return state_diff(m, p, q) / (2 * eps)
+
+            def fu(du):
+                p = step_fn(st, u + du)
+                q = step_fn(st, u - du)
+                return state_diff(m, p, q) / (2 * eps)
+
+            A = jax.vmap(fx)(eps * jnp.eye(nx, dtype=dt)).T  # (nx, nx)
+            B = jax.vmap(fu)(eps * jnp.eye(nu, dtype=dt)).T  # (nx, nu)
+            return A, B
+
+        return jax.vmap(fd_one)(prev_states, us)
+
+    def cost_expansion(states, us):
+        """lx, lxx, lu, luu, lux at each step via AD of the smooth cost.
+
+        The Δctrl coupling to prev_u is handled by treating u_{t-1} as fixed
+        (receding-horizon practice; exact for the quadratic Δu penalty's u_t
+        block, which is what stabilizes the solve)."""
+        prev_us = jnp.concatenate([prev_ctrl0[None], us[:-1]], axis=0)
+
+        def one(st, u, prev_u):
+            def cx(dx):
+                return stage_cost_x(state_add(m, st, dx), u, prev_u)
+
+            z = jnp.zeros(nx, dt)
+            lx = jax.grad(cx)(z)
+            lxx = jax.hessian(cx)(z)
+            lu = jax.grad(lambda uu: stage_cost_x(st, uu, prev_u))(u)
+            luu = jax.hessian(lambda uu: stage_cost_x(st, uu, prev_u))(u)
+            # the stage cost is additively separable in (x, u) apart from
+            # the tiny flip-indicator term, so the cross block is zero
+            lux = jnp.zeros((nu, nx), dt)
+            return lx, lxx, lu, luu, lux
+
+        return jax.vmap(one)(states, us, prev_us)
+
+    def backward(A, B, lx, lxx, lu, luu, lux, reg):
+        # stage cost is evaluated at the POST-step state x_{t+1} = f(x_t, u_t)
+        # (traj_rollout semantics), so fold (lx, lxx) into the cost-to-go at
+        # x_{t+1} before pulling back through (A_t, B_t).
+        def body(carry, inp):
+            Vx, Vxx = carry
+            A_t, B_t, lx_t, lxx_t, lu_t, luu_t, lux_t = inp
+            Gx = lx_t + Vx
+            Gxx = lxx_t + Vxx
+            Qx = A_t.T @ Gx
+            Qu = lu_t + B_t.T @ Gx
+            Qxx = A_t.T @ Gxx @ A_t
+            Quu = luu_t + B_t.T @ Gxx @ B_t
+            Qux = lux_t + B_t.T @ Gxx @ A_t
+            Quu_r = Quu + reg * jnp.eye(nu, dtype=dt)
+            # solve via Cholesky with fallback jitter
+            L_ = jnp.linalg.cholesky(Quu_r + 1e-9 * jnp.eye(nu, dtype=dt))
+            k_t = -jax.scipy.linalg.cho_solve((L_, True), Qu)
+            K_t = -jax.scipy.linalg.cho_solve((L_, True), Qux)
+            Vx_n = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
+            Vxx_n = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+            Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
+            dV = k_t @ Qu
+            return (Vx_n, Vxx_n), (k_t, K_t, dV)
+
+        init = (jnp.zeros(nx, dt), jnp.zeros((nx, nx), dt))
+        (_, _), (k, K, dV) = jax.lax.scan(
+            body, init,
+            (A, B, lx, lxx, lu, luu, lux),
+            reverse=True,
+        )
+        return k, K, jnp.sum(dV)
+
+    def forward_controls(states, us, k, K, alpha):
+        def body(carry, inp):
+            st, prev_u = carry
+            st_nom, u_nom, k_t, K_t = inp
+            dx = state_diff(m, st, st_nom)
+            u = _clamp(m, u_nom + alpha * k_t + K_t @ dx)
+            st2 = step_fn(st, u)
+            c = cost_fn(st2.sensordata, u, prev_u, cmd)
+            return (st2, u), (u, c)
+
+        prev_states = jax.tree.map(
+            lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
+            state0, states,
+        )
+        (_, _), (us_new, costs) = jax.lax.scan(
+            body, (state0, prev_ctrl0), (prev_states, us, k, K)
+        )
+        return us_new, jnp.sum(costs)
+
+    us0 = _clamp(m, ctrl_seq)
+    states0, cost0 = traj_rollout(us0)
+    alphas = jnp.asarray(cfg.alphas, dt)
+
+    def iteration(carry, _):
+        us, states, cost, reg = carry
+        A, B = linearize(states, us)
+        lx, lxx, lu, luu, lux = cost_expansion(states, us)
+        k, K, _ = backward(A, B, lx, lxx, lu, luu, lux, reg)
+
+        cand_us, cand_cost = jax.vmap(
+            lambda a: forward_controls(states, us, k, K, a)
+        )(alphas)
+        best = jnp.argmin(cand_cost)
+        best_cost = cand_cost[best]
+        improved = best_cost < cost
+        us_new = jnp.where(improved, cand_us[best], us)
+        cost_new = jnp.where(improved, best_cost, cost)
+        reg_new = jnp.where(
+            improved,
+            jnp.maximum(reg / cfg.reg_factor, 1e-6),
+            jnp.minimum(reg * cfg.reg_factor, cfg.reg_max),
+        )
+        states_new, _ = traj_rollout(us_new)
+        return (us_new, states_new, cost_new, reg_new), cost_new
+
+    init = (us0, states0, cost0, jnp.asarray(cfg.reg_init, dt))
+    (us, _, cost, reg), _ = jax.lax.scan(
+        iteration, init, None, length=cfg.iterations
+    )
+    return ILQRResult(ctrl_seq=us, cost=cost, initial_cost=cost0, reg=reg)

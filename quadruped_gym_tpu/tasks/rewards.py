@@ -102,8 +102,12 @@ def exp_dist(x):
 def unit(x, eps=0.0):
     """math_utils.py:7-8 (reference divides by the raw norm; a zero vector
     yields NaN there — we guard with a tiny epsilon only to stay finite,
-    which matches wherever the reference is well-defined)."""
-    n = jnp.linalg.norm(x)
+    which matches wherever the reference is well-defined). The norm goes
+    through a where-guard so the *gradient* is also finite at x == 0
+    (iLQR differentiates the stage cost through this)."""
+    n2 = jnp.sum(x * x)
+    nonzero = n2 > 0.0
+    n = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
     return x / jnp.maximum(n, 1e-30)
 
 
