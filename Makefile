@@ -1,0 +1,43 @@
+# quadruped-gym-tpu — developer entry points
+# (the reference ships a Docker/Make launch layer, Makefile:1-47; this is
+# the TPU-native equivalent: no GPU/X11 plumbing, everything runs on the
+# host's JAX install or in the TPU container below)
+
+PY ?= python
+
+.PHONY: help test test-fast bench train eval dryrun example clean
+
+help:
+	@echo "targets:"
+	@echo "  test      - full pytest suite (oracle parity + solvers + envs + RL)"
+	@echo "  test-fast - skip the slow lane-engine compile tests"
+	@echo "  bench     - headline benchmark (H=50 MPC rollouts/s/chip, one JSON line)"
+	@echo "  train     - PPO training (runs/ppo); resume-safe"
+	@echo "  eval      - evaluate runs/ppo policy under the fixed command"
+	@echo "  dryrun    - multi-chip sharding dry run on a virtual 8-device CPU mesh"
+	@echo "  example   - random-actuation rollout + joint-angle plot"
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q --ignore=tests/test_lane_engine.py --ignore=tests/test_ilqr.py
+
+bench:
+	$(PY) bench.py
+
+train:
+	$(PY) -m quadruped_gym_tpu.rl.train --output runs/ppo
+
+eval:
+	$(PY) -m quadruped_gym_tpu.rl.evaluate --policy runs/ppo/policy
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+
+example:
+	$(PY) examples/random_rollout.py
+
+clean:
+	rm -rf .jax_cache __pycache__ */__pycache__ plots videos runs

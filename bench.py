@@ -2,15 +2,27 @@
 
 BASELINE.md north star: >= 100,000 H=50 rollouts/s on one TPU chip
 (each rollout = 50 control steps x 5 physics substeps = 250 contact-solved
-dynamics steps + stage costs). Prints ONE JSON line.
+dynamics steps + stage costs). Scores through the lane-batched (batch-
+minor) engine on the feet-only decimated-hull planning model — the
+production MPC configuration. Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# persistent compile cache: the lane engine's unrolled step is a big XLA
+# program (~minutes first compile); repeated bench runs skip it
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 BASELINE_ROLLOUTS_PER_S = 100_000.0
@@ -20,21 +32,23 @@ def main():
     from quadruped_gym_tpu.models import spec
     from quadruped_gym_tpu.physics import engine
     from quadruped_gym_tpu.solvers import rollout
-    from quadruped_gym_tpu.tasks import commands
 
-    m = spec.get_model(collision_geom_prefixes=spec.MPC_COLLISION_PREFIXES)
-    cfg = rollout.RolloutConfig(
-        horizon=50, frame_skip=5, max_contacts=12, solver_iterations=8
-    )
+    m = spec.get_planning_model()
+    cfg = rollout.RolloutConfig(horizon=50, frame_skip=5)
     S = 4096  # rollouts per solve (BASELINE config 2/3 scale)
     cost_fn = rollout.make_cost_fn(m)
     state = engine.make_state(m)
+    from quadruped_gym_tpu.tasks import commands
+
     cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
     prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float32)
 
     @jax.jit
     def score(seqs):
-        return rollout.batched_rollout_cost(m, cfg, cost_fn, state, seqs, cmd, prev)
+        return rollout.lane_batched_rollout_cost(
+            m, cfg, cost_fn, state, seqs, cmd, prev,
+            newton_iterations=4, ls_iterations=8,
+        )
 
     key = jax.random.PRNGKey(0)
     seqs = jnp.clip(

@@ -398,3 +398,41 @@ def get_model(
 
 # lower-leg collision set for MPC-speed models (feet + ankle servos + shins)
 MPC_COLLISION_PREFIXES = ("foot", "shin", "ankle_servo")
+
+# feet-only set for the fastest planning models (lane engine / bench): in
+# nominal gaits only feet touch ground; shin/ankle contacts matter for the
+# plant, not the planner's lookahead.
+FEET_COLLISION_PREFIXES = ("foot",)
+
+
+def decimate_hulls(m: PhysicsModel, n_directions: int = 128) -> PhysicsModel:
+    """Planning-model hull decimation: keep only vertices that are argmax
+    support points along ``n_directions`` Fibonacci-sphere directions.
+
+    The plane-convex contact only ever touches hull *support* vertices, so
+    this preserves contact geometry up to the support-function error of the
+    dropped directions (sub-mm for these ~cm-scale feet). Intended for the
+    throughput planner; the oracle-parity engine keeps full hulls."""
+    # Fibonacci sphere
+    i = np.arange(n_directions) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n_directions)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    dirs = np.stack(
+        [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)],
+        axis=1,
+    )
+    new_hulls = []
+    for verts in m.col_hull_verts:
+        v = np.asarray(verts)
+        keep = np.unique(np.argmax(dirs @ v.T, axis=1))
+        new_hulls.append(v[keep])
+    return dataclasses.replace(m, col_hull_verts=tuple(new_hulls))
+
+
+def get_planning_model(n_directions: int = 128) -> PhysicsModel:
+    """Feet-only, decimated-hull model for maximum-throughput planning."""
+    key = ("planning", n_directions)
+    if key not in _MODEL_CACHE:
+        base = get_model(collision_geom_prefixes=FEET_COLLISION_PREFIXES)
+        _MODEL_CACHE[key] = decimate_hulls(base, n_directions)
+    return _MODEL_CACHE[key]

@@ -33,7 +33,13 @@ Mat3 = Tuple  # nested 3x3
 
 
 def is_static(x) -> bool:
+    # note: np.float64 passes isinstance(float) but is STRONGLY typed in
+    # jax promotion — callers must pass python floats; the helpers coerce
     return isinstance(x, (int, float))
+
+
+def _pyfloat(x):
+    return float(x)
 
 
 def mul(a: Scalar, b: Scalar) -> Scalar:
@@ -46,6 +52,7 @@ def mul(a: Scalar, b: Scalar) -> Scalar:
             return neg(b)
         if is_static(b):
             return float(a * b)
+        return _pyfloat(a) * b
     if is_static(b):
         if b == 0.0:
             return 0.0
@@ -53,6 +60,7 @@ def mul(a: Scalar, b: Scalar) -> Scalar:
             return a
         if b == -1.0:
             return neg(a)
+        return a * _pyfloat(b)
     return a * b
 
 
@@ -62,8 +70,11 @@ def add(a: Scalar, b: Scalar) -> Scalar:
             return b
         if is_static(b):
             return float(a + b)
-    if is_static(b) and b == 0.0:
-        return a
+        return _pyfloat(a) + b
+    if is_static(b):
+        if b == 0.0:
+            return a
+        return a + _pyfloat(b)
     return a + b
 
 
@@ -73,8 +84,11 @@ def sub(a: Scalar, b: Scalar) -> Scalar:
             return a
         if is_static(a):
             return float(a - b)
-    if is_static(a) and a == 0.0:
-        return neg(b)
+        return a - _pyfloat(b)
+    if is_static(a):
+        if a == 0.0:
+            return neg(b)
+        return _pyfloat(a) - b
     return a - b
 
 

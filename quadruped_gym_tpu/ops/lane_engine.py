@@ -169,7 +169,13 @@ def _static(m: PhysicsModel) -> _Static:
         children=children,
         body_dofs=body_dofs,
         m_pairs=m_pairs,
-        plane_frame=(tuple(n), tuple(t1), tuple(t2)),
+        # pure python floats: np.float64 scalars are strongly typed and
+        # would promote every f32 contact row to f64 under x64
+        plane_frame=(
+            tuple(float(x) for x in n),
+            tuple(float(x) for x in t1),
+            tuple(float(x) for x in t2),
+        ),
         plane_off=float(np.dot(n, np.asarray(m.plane_pos))),
     )
     _STATIC_CACHE[key] = s
@@ -412,7 +418,8 @@ def _actuation(m: PhysicsModel, q, qv, act):
         qfrc[da] = L.add(qfrc[da], L.mul(gear, clamped))
         in_range = (force > lo) & (force < hi)
         dvel[da] = L.add(
-            dvel[da], jnp.where(in_range, gear * gear * _f(bp[2]), 0.0)
+            dvel[da],
+            jnp.where(in_range, gear * gear * _f(bp[2]), 0.0).astype(q[qa].dtype),
         )
     return qfrc, dvel
 
@@ -616,7 +623,7 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S, q, qv, slots) -> _Rows:
         d_hi = hi - q[qa]
         lower = d_lo <= d_hi
         dist = jnp.where(lower, d_lo, d_hi)
-        sign = jnp.where(lower, 1.0, -1.0)
+        sign = jnp.where(lower, 1.0, -1.0).astype(dist.dtype)
         margin = _f(m.jnt_margin[j])
         active = dist < margin
         r = dist - margin
@@ -784,8 +791,13 @@ def _forward_core(m: PhysicsModel, q, qv, act):
     return kin, S, cvel, M, qfrc_smooth, dvel
 
 
-def _newton_solve(m, M, rows: _Rows, qacc_smooth, iterations, ls_iterations):
-    """Fixed-iteration primal Newton (same objective as physics.solver)."""
+def _newton_solve(m, M, rows: _Rows, qacc_smooth, iterations, ls_iterations,
+                  unroll: bool = False):
+    """Fixed-iteration primal Newton (same objective as physics.solver).
+
+    ``unroll`` replaces the Newton/line-search scans with straight-line
+    code — measured SLOWER on v5e (5.5 vs 4.2 ms/substep at batch 4096;
+    the bigger program schedules worse), kept only as an experiment flag."""
     nv = m.nv
 
     def body(xs, _):
@@ -812,12 +824,22 @@ def _newton_solve(m, M, rows: _Rows, qacc_smooth, iterations, ls_iterations):
             return jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-30), 0.0, 4.0), None
 
         t0 = jnp.ones_like(xs[0])
-        t, _ = jax.lax.scan(ls_body, t0, None, length=ls_iterations)
+        if unroll:
+            t = t0
+            for _i in range(ls_iterations):
+                t, _ = ls_body(t, None)
+        else:
+            t, _ = jax.lax.scan(ls_body, t0, None, length=ls_iterations)
         x_new = jnp.stack([x[i] + t * dx[i] for i in range(nv)])
         return x_new, None
 
     xs0 = jnp.stack(qacc_smooth)
-    xs, _ = jax.lax.scan(body, xs0, None, length=iterations)
+    if unroll:
+        xs = xs0
+        for _i in range(iterations):
+            xs, _ = body(xs, None)
+    else:
+        xs, _ = jax.lax.scan(body, xs0, None, length=iterations)
     x = [xs[i] for i in range(nv)]
     jar = _rows_matvec(m, rows, x) - rows.aref
     force = jnp.where((jar < 0.0) & (rows.D > 0.0), -rows.D * jar, 0.0)

@@ -71,8 +71,8 @@ def sharded_mppi_plan(
         def one_iter(mean, k):
             eps = cfg.sigma * jax.random.normal(k, (s_local, H, nu), dtype)
             seqs = jnp.clip(mean[None] + eps, lo, hi)
-            costs = rollout_mod.batched_rollout_cost(
-                m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl
+            costs = mppi_mod._rollout_costs(
+                m, cfg, cost_fn, state, seqs, cmd, prev_ctrl
             )
             costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
             cmin = jax.lax.pmin(jnp.min(costs), axis)  # global baseline
@@ -157,8 +157,8 @@ def sharded_batch_mppi_plan(
             def one_iter(mean, kk):
                 eps = cfg.sigma * jax.random.normal(kk, (s_local, H, nu), dtype)
                 seqs = jnp.clip(mean[None] + eps, lo, hi)
-                costs = rollout_mod.batched_rollout_cost(
-                    m, cfg.rollout, cost_fn, state, seqs, cmd, prev
+                costs = mppi_mod._rollout_costs(
+                    m, cfg, cost_fn, state, seqs, cmd, prev
                 )
                 costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
                 cmin = jax.lax.pmin(jnp.min(costs), sample_axis)

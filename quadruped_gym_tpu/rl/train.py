@@ -81,7 +81,10 @@ def main(argv=None):
         print(f"resumed from {ckpt_dir} at iteration {start_iter}")
 
     csv_path = os.path.join(out, "rewards_continuous.csv")
-    logger = metrics_mod.RewardCSVLogger(csv_path)
+    # native C++ ring logger when the toolchain allows; Python CSV fallback
+    from ..native import make_reward_logger
+
+    logger = make_reward_logger(csv_path, REWARD_KEYS)
     if args.dashboard:
         from ..utils.server import launch_dash
 
@@ -103,6 +106,7 @@ def main(argv=None):
         steps_done = updates_per_iter * cfg.batch_size
         comp = np.asarray(history.reward_components)  # (updates, 11)
         logger.log_many(it * updates_per_iter, comp)
+        logger.flush()  # the native writer thread drains asynchronously
         checkpoint.save(ckpt_dir, ts, step=it + 1)
 
         mean_r = float(np.mean(np.asarray(history.mean_reward)))

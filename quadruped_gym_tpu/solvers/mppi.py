@@ -31,6 +31,24 @@ class MPPIConfig:
     temperature: float = 1.0  # lambda in the MPPI weighting
     iterations: int = 1  # refinement iterations per solve
     rollout: rollout_mod.RolloutConfig = rollout_mod.RolloutConfig()
+    # lane=True scores rollouts through the batch-minor lane engine
+    # (~5x faster on TPU; fixed Newton budget below instead of the
+    # rollout config's solver_iterations)
+    lane: bool = False
+    lane_newton_iterations: int = 4
+    lane_ls_iterations: int = 8
+
+
+def _rollout_costs(m, cfg: "MPPIConfig", cost_fn, state, seqs, cmd, prev):
+    if cfg.lane:
+        return rollout_mod.lane_batched_rollout_cost(
+            m, cfg.rollout, cost_fn, state, seqs, cmd, prev,
+            newton_iterations=cfg.lane_newton_iterations,
+            ls_iterations=cfg.lane_ls_iterations,
+        )
+    return rollout_mod.batched_rollout_cost(
+        m, cfg.rollout, cost_fn, state, seqs, cmd, prev
+    )
 
 
 class PlanResult(NamedTuple):
@@ -65,9 +83,7 @@ def plan(
         mean = carry
         eps = cfg.sigma * jax.random.normal(k, (S, H, nu), dtype)
         seqs = jnp.clip(mean[None] + eps, lo, hi)
-        costs = rollout_mod.batched_rollout_cost(
-            m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl
-        )
+        costs = _rollout_costs(m, cfg, cost_fn, state, seqs, cmd, prev_ctrl)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         cmin = jnp.min(costs)
         w = jax.nn.softmax(-(costs - cmin) / cfg.temperature)

@@ -108,3 +108,54 @@ def batched_rollout_cost(
     """(S,) total costs; the batch axis is vmapped (one shared start state)."""
     fn = lambda seq: rollout_cost(m, cfg, cost_fn, state0, seq, cmd, prev_ctrl0)
     return jax.vmap(fn)(ctrl_seqs)
+
+
+def lane_batched_rollout_cost(
+    m: PhysicsModel,
+    cfg: RolloutConfig,
+    cost_fn: CostFn,
+    state0: engine.State,
+    ctrl_seqs: jnp.ndarray,  # (S, H, nu)
+    cmd: Command,
+    prev_ctrl0: jnp.ndarray,
+    newton_iterations: int = 4,
+    ls_iterations: int = 8,
+) -> jnp.ndarray:
+    """(S,) total costs through the lane-batched (batch-minor) engine.
+
+    The TPU throughput path: same contact physics as the vmapped engine
+    (validated in tests/test_lane_engine.py) but laid out batch-minor —
+    measured ~5x faster per step at batch 4096 on v5e. The Newton budget is
+    a fixed iteration count (no convergence branching); ``max_contacts`` is
+    ignored because every collision slot is a masked constraint row. Pair
+    with ``spec.get_planning_model()`` for the fastest configuration."""
+    from ..ops import lane_engine
+
+    S, H, nu = ctrl_seqs.shape
+    dt = ctrl_seqs.dtype
+    ls = lane_engine.LaneState(
+        qpos=jnp.broadcast_to(state0.qpos.astype(dt)[:, None], (m.nq, S)),
+        qvel=jnp.broadcast_to(state0.qvel.astype(dt)[:, None], (m.nv, S)),
+        act=jnp.broadcast_to(state0.act.astype(dt)[:, None], (m.na, S)),
+        time=jnp.broadcast_to(state0.time.astype(dt), (S,)),
+        sensordata=jnp.broadcast_to(
+            state0.sensordata.astype(dt)[:, None], (m.nsensordata, S)
+        ),
+    )
+    seqs = jnp.transpose(ctrl_seqs, (1, 2, 0))  # (H, nu, S)
+    prev0 = jnp.broadcast_to(prev_ctrl0.astype(dt)[:, None], (nu, S))
+
+    cost_v = jax.vmap(cost_fn, in_axes=(1, 1, 1, None))
+
+    def body(carry, ctrl_t):
+        st, prev = carry
+        st = lane_engine.control_step(
+            m, st, ctrl_t, cfg.frame_skip,
+            solver_iterations=newton_iterations,
+            ls_iterations=ls_iterations,
+        )
+        c = cost_v(st.sensordata, ctrl_t, prev, cmd)
+        return (st, ctrl_t), c
+
+    (_, _), costs = jax.lax.scan(body, (ls, prev0), seqs)
+    return jnp.sum(costs, axis=0)

@@ -18,8 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# persistent compilation cache: repeated pytest runs skip most XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/qgt_jax_cache")
+# persistent compilation cache: repeated pytest runs skip most XLA compiles.
+# Repo-local so it survives across sessions/rounds on this machine (the
+# lane engine's unrolled step takes many minutes of XLA CPU compile cold).
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir", _os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 jax.config.update("jax_enable_x64", True)

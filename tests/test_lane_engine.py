@@ -53,10 +53,7 @@ def test_lane_step_matches_engine(m, airborne):
     ref = jax.jit(jax.vmap(ref_one))(qpos, qvel, act, time, sens)
 
     ls = lane_engine.from_batched(qpos, qvel, act, time, sens)
-    out = jax.jit(
-        lambda s: lane_engine.step(m, s, ctrl.T, solver_iterations=8,
-                                   ls_iterations=12)
-    )(ls)
+    out = _lane_step(m)(ls, ctrl.T)
     qpos_l, qvel_l, act_l, time_l, sens_l = lane_engine.to_batched(out)
 
     np.testing.assert_allclose(np.asarray(qpos_l), np.asarray(ref.qpos),
@@ -69,9 +66,24 @@ def test_lane_step_matches_engine(m, airborne):
                                rtol=1e-7, atol=1e-8)
 
 
+_LANE_STEP_CACHE = {}
+
+
+def _lane_step(m):
+    # one shared jitted program (ctrl as an argument, fixed batch=4): the
+    # lane step costs many minutes of XLA CPU compile, so every test in this
+    # module must reuse the same compilation
+    if id(m) not in _LANE_STEP_CACHE:
+        _LANE_STEP_CACHE[id(m)] = jax.jit(
+            lambda s, c: lane_engine.step(m, s, c, solver_iterations=8,
+                                          ls_iterations=12)
+        )
+    return _LANE_STEP_CACHE[id(m)]
+
+
 def test_lane_trajectory_grounded(m):
     """Multi-step grounded trajectory stays glued to the per-env engine."""
-    B = 2
+    B = 4
     qpos, qvel, act, time, sens = _batch_states(m, B, jax.random.PRNGKey(2))
     ctrl = jnp.tile(jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1))
 
@@ -82,18 +94,48 @@ def test_lane_trajectory_grounded(m):
 
     step_ref = jax.jit(
         jax.vmap(
-            lambda ss: engine.step(m, ss, ctrl[0], max_contacts=36,
-                                   solver_iterations=8)
+            lambda ss, c: engine.step(m, ss, c, max_contacts=36,
+                                      solver_iterations=8)
         )
     )
-    step_lane = jax.jit(
-        lambda s: lane_engine.step(m, s, ctrl.T, solver_iterations=8,
-                                   ls_iterations=12)
-    )
+    step_lane = _lane_step(m)
     for i in range(20):
-        st = step_ref(st)
-        ls = step_lane(ls)
+        st = step_ref(st, ctrl)
+        ls = step_lane(ls, ctrl.T)
     qpos_l, qvel_l, *_ = lane_engine.to_batched(ls)
     # fp-chaos through contact grows differences slowly; 20 steps stays tight
     np.testing.assert_allclose(np.asarray(qpos_l), np.asarray(st.qpos),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_lane_rollout_cost_consistent_with_aos():
+    """Lane-engine rollout scoring tracks the AoS engine on the planning
+    model (same trajectories up to solver-iteration-budget differences)."""
+    from quadruped_gym_tpu.solvers import rollout
+    from quadruped_gym_tpu.tasks import commands
+
+    pm = spec.get_planning_model()
+    cfg = rollout.RolloutConfig(horizon=3, frame_skip=2, max_contacts=12,
+                                solver_iterations=8)
+    cost_fn = rollout.make_cost_fn(pm)
+    state = engine.make_state(pm, dtype=jnp.float64)
+    cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
+    prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float64)
+    seqs = jnp.clip(
+        prev[None, None]
+        + 0.2 * jax.random.normal(jax.random.PRNGKey(0), (4, 3, pm.nu),
+                                  jnp.float64),
+        -1.0, 1.0,
+    )
+    aos = jax.jit(
+        lambda s: rollout.batched_rollout_cost(pm, cfg, cost_fn, state, s,
+                                               cmd, prev)
+    )(seqs)
+    lane = jax.jit(
+        lambda s: rollout.lane_batched_rollout_cost(
+            pm, cfg, cost_fn, state, s, cmd, prev,
+            newton_iterations=8, ls_iterations=12)
+    )(seqs)
+    # same optimum (strictly convex contact problem) -> tight agreement
+    np.testing.assert_allclose(np.asarray(lane), np.asarray(aos),
+                               rtol=5e-3, atol=1e-3)
