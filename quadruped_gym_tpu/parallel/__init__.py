@@ -7,6 +7,7 @@ batch axis shard across chips, and the only cross-chip traffic is a handful
 of small psum/pmin all-reduces riding ICI.
 """
 
+from . import multihost  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     SAMPLE_AXIS,

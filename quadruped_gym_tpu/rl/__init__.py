@@ -6,7 +6,7 @@ rollouts, GAE and minibatch epochs all run inside one jitted scan on the
 TPU; environments are the vmapped functional walking task.
 """
 
-from . import networks, ppo  # noqa: F401
+from . import distributed, networks, ppo  # noqa: F401
 from .ppo import (  # noqa: F401
     PPOConfig,
     TrainState,

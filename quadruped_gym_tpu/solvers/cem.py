@@ -31,6 +31,10 @@ class CEMConfig:
     min_sigma: float = 0.02
     alpha: float = 0.2  # distribution smoothing (old vs refit)
     rollout: rollout_mod.RolloutConfig = rollout_mod.RolloutConfig()
+    # lane=True scores rollouts through the batch-minor lane engine
+    lane: bool = False
+    lane_newton_iterations: int = 4
+    lane_ls_iterations: int = 8
 
 
 class CEMResult(NamedTuple):
@@ -61,9 +65,16 @@ def plan(
         mean, sigma = carry
         eps = jax.random.normal(k, (cfg.num_samples,) + mean.shape, dtype)
         seqs = jnp.clip(mean[None] + sigma[None] * eps, lo, hi)
-        costs = rollout_mod.batched_rollout_cost(
-            m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl
-        )
+        if cfg.lane:
+            costs = rollout_mod.lane_batched_rollout_cost(
+                m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl,
+                newton_iterations=cfg.lane_newton_iterations,
+                ls_iterations=cfg.lane_ls_iterations,
+            )
+        else:
+            costs = rollout_mod.batched_rollout_cost(
+                m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl
+            )
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         _, elite_idx = jax.lax.top_k(-costs, cfg.num_elites)
         elites = seqs[elite_idx]
