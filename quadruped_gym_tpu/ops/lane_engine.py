@@ -896,8 +896,15 @@ def _step_impl(
     ctrl: jnp.ndarray,
     solver_iterations: int = 4,
     ls_iterations: int = 8,
+    compute_sensors: bool = True,
 ) -> LaneState:
-    """One physics step on arbitrarily-shaped lane scalars."""
+    """One physics step on arbitrarily-shaped lane scalars.
+
+    ``compute_sensors=False`` carries the previous sensordata through —
+    exact for frame-skipped control steps, where only the LAST substep's
+    reading is ever observed (quadruped.py:163-167 reads sensors once per
+    control step); saves the cacc recursion + sensor assembly per substep.
+    """
     h = m.timestep
     nq, nv, na = m.nq, m.nv, m.na
     q = [ls.qpos[i] for i in range(nq)]
@@ -923,8 +930,11 @@ def _step_impl(
         qacc = qacc_smooth
 
     # sensors at the pre-integration state (mj_step ordering)
-    cacc = _body_accelerations(m, S, cvel, qv, qacc)
-    sens = _sensors(m, kin, cvel, cacc, q)
+    if compute_sensors:
+        cacc = _body_accelerations(m, S, cvel, qv, qacc)
+        sens = _sensors(m, kin, cvel, cacc, q)
+    else:
+        sens = ls.sensordata
 
     # implicitfast velocity update: (M - h diag(D)) dv = h M qacc
     Mhat = dict(M)
@@ -1035,7 +1045,12 @@ def control_step(
         ctrl = _tile(ctrl)
 
     def body(s, _):
-        return _step_impl(m, s, ctrl, solver_iterations, ls_iterations), None
+        return _step_impl(
+            m, s, ctrl, solver_iterations, ls_iterations,
+            compute_sensors=False,
+        ), None
 
-    out, _ = jax.lax.scan(body, ls, None, length=frame_skip)
+    if frame_skip > 1:
+        ls, _ = jax.lax.scan(body, ls, None, length=frame_skip - 1)
+    out = _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)
     return _untile_state(out) if tiled else out

@@ -50,8 +50,10 @@ def initialize(
         if os.environ.get("TPU_WORKER_HOSTNAMES"):  # cloud TPU pod slice
             jax.distributed.initialize()
             return True
-    except RuntimeError:
-        pass  # already initialized
+    except (RuntimeError, ValueError):
+        # already initialized, or a single-process environment that merely
+        # looks pod-like (e.g. a tunneled single chip) — stay single-process
+        pass
     return False
 
 

@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dashboard", action="store_true",
                    help="serve live metrics on :8050")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the env batch over all devices (and hosts "
+                        "when launched under jax.distributed)")
     args = p.parse_args(argv)
 
     out = args.output
@@ -72,7 +75,18 @@ def main(argv=None):
     env_cfg = make_env_config(args)
     cfg = ppo.PPOConfig(num_envs=args.num_envs, num_steps=args.num_steps)
 
-    ts = ppo.init_train_state(m, env_cfg, cfg, jax.random.PRNGKey(args.seed))
+    if args.distributed:
+        from ..parallel import DATA_AXIS, make_mesh, multihost
+        from . import distributed as dist_mod
+
+        multihost.initialize()
+        mesh = make_mesh(jax.devices(), axis_names=(DATA_AXIS,))
+        ts = dist_mod.init_distributed_train_state(
+            m, env_cfg, cfg, jax.random.PRNGKey(args.seed), mesh
+        )
+        dist_update = dist_mod.make_distributed_update(m, env_cfg, cfg, mesh)
+    else:
+        ts = ppo.init_train_state(m, env_cfg, cfg, jax.random.PRNGKey(args.seed))
     ckpt_dir = os.path.join(out, "policy")
     start_iter = 0
     if checkpoint.exists(ckpt_dir):  # crash resume (train_quadruped.py:117-127)
@@ -94,9 +108,17 @@ def main(argv=None):
     updates_per_iter = max(
         1, args.timesteps_per_iteration // cfg.batch_size
     )
-    train = jax.jit(
-        lambda t: ppo.train_chunk(m, env_cfg, cfg, t, updates_per_iter)
-    )
+    if args.distributed:
+        def _chunk(t):
+            def body(t, _):
+                return dist_update(t)
+            return jax.lax.scan(body, t, None, length=updates_per_iter)
+
+        train = jax.jit(_chunk)
+    else:
+        train = jax.jit(
+            lambda t: ppo.train_chunk(m, env_cfg, cfg, t, updates_per_iter)
+        )
 
     for it in range(start_iter, start_iter + args.iterations):
         t0 = time.perf_counter()
