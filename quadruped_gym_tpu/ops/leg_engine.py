@@ -1,0 +1,1143 @@
+"""Leg-batched lane engine: the four identical legs as a (4, B) lane dim.
+
+The quadruped's kinematic tree is one free base plus four structurally
+identical 3-dof chains — only the hip mount pose differs per leg (90°-
+rotated copies; knee/ankle constants are bit-identical). The lane engine
+unrolls all four legs into separate scalar chains (~30k vector ops per
+substep, instruction-issue-bound); here every leg quantity is a single
+(4, B) lane array, cutting the dominant FK/CRBA/RNE/Jacobian/Newton op
+counts ~3-4x while keeping the exact same math.
+
+Key structural facts exploited (asserted in ``_leg_static``):
+  * dof order: free 0-5, then leg-major hinge dofs 6+3l+k (level k in
+    {hip, knee, ankle});
+  * the mass-matrix sparsity splits into free-free (B,), free-leg (4, B)
+    and within-leg (4, B) blocks — no leg-leg coupling — and the
+    tree-sparse LDLᵀ factors the four chains in parallel, accumulating
+    into the free block with one sum over the leg axis;
+  * the contact Hessian M + JᵀWJ has the same block structure (each foot
+    touches only its own leg + the base);
+  * one foot hull serves all four feet, so plane-convex collision is a
+    single (V, 4, B) computation.
+
+Same API and semantics as ``lane_engine`` (``LaneState`` in/out, sensors
+on the last substep of ``control_step``); validated against it in
+``tests/test_leg_engine.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.spec import JNT_FREE, PhysicsModel
+from . import lane as L
+from .lane_engine import (
+    LaneState,
+    _f,
+    _imp_lane,
+    _impedance_np_params,
+    _kb_from_solref,
+    _np_quat_mat,
+    _quatc,
+    _static,
+    _v3c,
+    from_batched,
+    make_lane_state,
+    to_batched,
+)
+
+NLEG = 4
+NLEV = 3  # hip, knee, ankle
+
+
+@dataclasses.dataclass(frozen=True)
+class _LegStatic:
+    base: int  # body id of the free base
+    leg_bodies: Tuple[Tuple[int, ...], ...]  # [level][leg] body ids
+    leg_joints: Tuple[Tuple[int, ...], ...]  # [level][leg] joint ids
+    foot_geoms: Tuple[int, ...]  # collision geom index per leg
+
+
+_LEG_CACHE: dict = {}
+
+
+def _leg_static(m: PhysicsModel) -> _LegStatic:
+    key = id(m)
+    if key in _LEG_CACHE:
+        return _LEG_CACHE[key]
+    base = next(b for b in range(1, m.nbody) if m.body_parentid[b] == 0)
+    assert m.jnt_type[m.body_jntadr[base]] == JNT_FREE
+    hips = [b for b in range(1, m.nbody) if m.body_parentid[b] == base]
+    assert len(hips) == NLEG, f"expected 4 legs, got {len(hips)}"
+    legs = []
+    for h in hips:
+        chain = [h]
+        while True:
+            kids = [b for b in range(1, m.nbody) if m.body_parentid[b] == chain[-1]]
+            if not kids:
+                break
+            assert len(kids) == 1
+            chain.append(kids[0])
+        assert len(chain) == NLEV
+        legs.append(chain)
+    leg_bodies = tuple(tuple(legs[l][k] for l in range(NLEG)) for k in range(NLEV))
+    leg_joints = tuple(
+        tuple(m.body_jntadr[b] for b in leg_bodies[k]) for k in range(NLEV)
+    )
+    # structural invariants the vectorization relies on
+    for k in range(NLEV):
+        for field in ("body_mass", "body_inertia", "body_ipos", "body_iquat"):
+            vals = np.asarray(getattr(m, field))[list(leg_bodies[k])]
+            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+        for field in ("jnt_pos", "jnt_axis", "jnt_range", "jnt_solref",
+                      "jnt_solimp", "jnt_margin"):
+            vals = np.asarray(getattr(m, field))[list(leg_joints[k])]
+            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+        if k > 0:
+            for field in ("body_pos", "body_quat"):
+                vals = np.asarray(getattr(m, field))[list(leg_bodies[k])]
+                assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+        # dof layout: leg-major, consecutive
+        for l in range(NLEG):
+            assert m.jnt_dofadr[leg_joints[k][l]] == 6 + 3 * l + k
+            assert m.jnt_qposadr[leg_joints[k][l]] == 7 + 3 * l + k
+        assert all(m.jnt_limited[j] for j in leg_joints[k])
+    # collision: exactly one identical foot geom per leg, on the last level
+    assert len(m.col_geom_bodyid) == NLEG, "leg engine needs the feet-only model"
+    foot_geoms = []
+    for l in range(NLEG):
+        g = m.col_geom_bodyid.index(leg_bodies[NLEV - 1][l])
+        foot_geoms.append(g)
+    for field in ("col_geom_pos", "col_geom_quat", "col_friction", "col_solref",
+                  "col_solimp", "col_margin", "col_gap", "col_theta2", "col_theta3"):
+        vals = np.asarray(getattr(m, field))[list(foot_geoms)]
+        assert np.allclose(vals, vals[0]), f"{field} differs across feet"
+    for g in foot_geoms[1:]:
+        assert np.array_equal(m.col_hull_verts[g], m.col_hull_verts[foot_geoms[0]])
+    s = _LegStatic(
+        base=base,
+        leg_bodies=leg_bodies,
+        leg_joints=leg_joints,
+        foot_geoms=tuple(foot_geoms),
+    )
+    _LEG_CACHE[key] = s
+    return s
+
+
+def is_compatible(m: PhysicsModel) -> bool:
+    """Whether the model satisfies the leg-batching invariants (4 identical
+    3-dof legs, feet-only collision). Callers can fall back to
+    ``lane_engine`` when False."""
+    try:
+        _leg_static(m)
+        return True
+    except (AssertionError, StopIteration, ValueError):
+        return False
+
+
+def _leg_const_col(col: np.ndarray, dtype, lane_shape=(), full=False):
+    """One per-leg constant column -> float if shared, else a per-leg
+    array assembled from scalar fills (an op chain XLA folds to the same
+    constant, but — unlike a captured data array — legal inside Pallas
+    kernels, which reject non-scalar closure constants). Shape is
+    (4, 1, ...) broadcast-style, or the full (4, *lane_shape) when
+    ``full`` (Mosaic cannot broadcast a (4,1,1) vector in both sublanes
+    and lanes, but scalar splats to full shape are fine)."""
+    col = np.asarray(col, np.float64)
+    if np.all(col == col[0]):
+        return float(col[0])
+    tail = tuple(lane_shape) if full else (1,) * len(lane_shape)
+    return jnp.concatenate(
+        [jnp.full((1,) + tail, float(v), dtype) for v in col], axis=0
+    )
+
+
+def _leg_const_vec3(vals: np.ndarray, dtype, lane_shape=(), full=False):
+    """(4, 3) per-leg constant -> Vec3 of per-leg arrays (or floats)."""
+    vals = np.asarray(vals, np.float64)
+    return tuple(
+        _leg_const_col(vals[:, c], dtype, lane_shape, full) for c in range(3)
+    )
+
+
+def _leg_const_quat(vals: np.ndarray, dtype, lane_shape=(), full=False):
+    vals = np.asarray(vals, np.float64)
+    return tuple(
+        _leg_const_col(vals[:, c], dtype, lane_shape, full) for c in range(4)
+    )
+
+
+def _bc(x):
+    """Broadcast a base (B,) lane scalar against leg (4, B) arrays —
+    a no-op: numpy broadcasting handles (B,) vs (4, B)."""
+    return x
+
+
+class _Kin(NamedTuple):
+    base_pos: tuple  # Vec3 (B,)
+    base_quat: tuple
+    base_mat: tuple
+    leg_pos: tuple  # [level] Vec3 of (4, B)
+    leg_quat: tuple
+    leg_mat: tuple
+    origin: tuple
+
+
+def _fk(m: PhysicsModel, q_free, q_leg, const_full=False):
+    """q_free: list of 7 (B,); q_leg: [level] (4, B)."""
+    ls = _leg_static(m)
+    dtype = q_free[0].dtype
+    base_pos = (q_free[0], q_free[1], q_free[2])
+    base_quat = L.quat_normalize((q_free[3], q_free[4], q_free[5], q_free[6]))
+
+    leg_pos, leg_quat = [], []
+    hip0 = ls.leg_bodies[0]
+    lane_shape = q_free[0].shape
+    pos = L.v3_add(
+        base_pos,
+        L.quat_rotate(
+            base_quat,
+            _leg_const_vec3(np.asarray(m.body_pos)[list(hip0)], dtype,
+                            lane_shape, const_full),
+        ),
+    )
+    quat = L.quat_mul(
+        base_quat,
+        _leg_const_quat(np.asarray(m.body_quat)[list(hip0)], dtype,
+                        lane_shape, const_full),
+    )
+    for k in range(NLEV):
+        j0 = ls.leg_joints[k][0]
+        if k > 0:
+            b0 = ls.leg_bodies[k][0]
+            pos = L.v3_add(pos, L.quat_rotate(quat, _v3c(m.body_pos[b0])))
+            quat = L.quat_mul(quat, _quatc(m.body_quat[b0]))
+        angle = q_leg[k] - _f(m.qpos0[m.jnt_qposadr[j0]])
+        anchor_l = _v3c(m.jnt_pos[j0])
+        anchor_w = L.v3_add(pos, L.quat_rotate(quat, anchor_l))
+        quat = L.quat_mul(quat, L.axis_angle_to_quat(_v3c(m.jnt_axis[j0]), angle))
+        pos = L.v3_sub(anchor_w, L.quat_rotate(quat, anchor_l))
+        leg_pos.append(pos)
+        leg_quat.append(quat)
+
+    return _Kin(
+        base_pos=base_pos,
+        base_quat=base_quat,
+        base_mat=L.quat_to_mat(base_quat),
+        leg_pos=tuple(leg_pos),
+        leg_quat=tuple(leg_quat),
+        leg_mat=tuple(L.quat_to_mat(qq) for qq in leg_quat),
+        origin=base_pos,
+    )
+
+
+def _subspace(m: PhysicsModel, kin: _Kin):
+    """Free rows (6 of mixed static/(B,)) + leg rows ([level] of (4, B))."""
+    ls = _leg_static(m)
+    S_free = []
+    for k in range(3):
+        e = [0.0, 0.0, 0.0]
+        e[k] = 1.0
+        S_free.append((0.0, 0.0, 0.0, e[0], e[1], e[2]))
+    p = L.v3_sub(kin.base_pos, kin.origin)  # ~0 but keep general
+    for k in range(3):
+        a = L.mat_col(kin.base_mat, k)
+        S_free.append(L.sv(a, L.v3_cross(p, a)))
+
+    S_leg = []
+    for k in range(NLEV):
+        j0 = ls.leg_joints[k][0]
+        anchor = L.v3_sub(
+            L.v3_add(kin.leg_pos[k], L.mat_vec(kin.leg_mat[k], _v3c(m.jnt_pos[j0]))),
+            kin.origin,
+        )
+        axis = L.mat_vec(kin.leg_mat[k], _v3c(m.jnt_axis[j0]))
+        S_leg.append(L.sv(axis, L.v3_cross(anchor, axis)))
+    return tuple(S_free), tuple(S_leg)
+
+
+def _body_velocities(m, S_free, S_leg, qv_free, qv_leg):
+    v_base = (0.0,) * 6
+    for d in range(6):
+        v_base = L.sv_add(v_base, L.sv_scale(qv_free[d], S_free[d]))
+    v_leg = []
+    v = v_base
+    for k in range(NLEV):
+        v = L.sv_add(v, L.sv_scale(qv_leg[k], S_leg[k]))
+        v_leg.append(v)
+    return v_base, tuple(v_leg)
+
+
+def _inertias(m: PhysicsModel, kin: _Kin):
+    ls = _leg_static(m)
+    b = ls.base
+    xi_base = L.v3_add(kin.base_pos, L.mat_vec(kin.base_mat, _v3c(m.body_ipos[b])))
+    imat_b = L.mat_mul(
+        kin.base_mat,
+        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.body_iquat[b])),
+    )
+    I_base = L.spatial_inertia_world(
+        _f(m.body_mass[b]), _v3c(m.body_inertia[b]), imat_b,
+        L.v3_sub(xi_base, kin.origin),
+    )
+    I_leg = []
+    for k in range(NLEV):
+        bk = ls.leg_bodies[k][0]
+        xi = L.v3_add(kin.leg_pos[k], L.mat_vec(kin.leg_mat[k], _v3c(m.body_ipos[bk])))
+        imat = L.mat_mul(
+            kin.leg_mat[k],
+            tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.body_iquat[bk])),
+        )
+        I_leg.append(L.spatial_inertia_world(
+            _f(m.body_mass[bk]), _v3c(m.body_inertia[bk]), imat,
+            L.v3_sub(xi, kin.origin),
+        ))
+    return I_base, tuple(I_leg)
+
+
+def _sum_legs(x):
+    """Reduce a (4, B) lane scalar over the leg axis -> (B,).
+
+    Unrolled adds instead of ``jnp.sum(axis=0)`` so the op lowers inside
+    Pallas/Mosaic kernels (and XLA folds it identically outside)."""
+    if L.is_static(x):
+        return 4.0 * x
+    return (x[0] + x[1]) + (x[2] + x[3])
+
+
+def _crba(m: PhysicsModel, S_free, S_leg, I_base, I_leg):
+    """Block mass matrix: (Mff {(i,j<=i): (B,)}, Mfl {(i,k): (4,B)},
+    Mll {(ki,kj<=ki): (4,B)})."""
+    # composite inertias: within-leg leaf -> root
+    Ic = [None] * NLEV
+    acc = I_leg[NLEV - 1]
+    Ic[NLEV - 1] = acc
+    for k in range(NLEV - 2, -1, -1):
+        acc = tuple(
+            tuple(L.add(I_leg[k][a][b], acc[a][b]) for b in range(6))
+            for a in range(6)
+        )
+        Ic[k] = acc
+    # base composite: base inertia + sum over legs of the hip composite
+    Ic_base = tuple(
+        tuple(L.add(I_base[a][b], _sum_legs(Ic[0][a][b])) for b in range(6))
+        for a in range(6)
+    )
+
+    F_free = [L.inertia_vec(Ic_base, S_free[i]) for i in range(6)]
+    F_leg = [L.inertia_vec(Ic[k], S_leg[k]) for k in range(NLEV)]
+
+    Mff, Mfl, Mll = {}, {}, {}
+    for i in range(6):
+        for j in range(i + 1):
+            v = L.sv_dot(S_free[j], F_free[i])
+            if i == j:
+                v = L.add(v, _f(m.dof_armature[i]))
+            Mff[(i, j)] = v
+    for i in range(6):
+        for k in range(NLEV):
+            Mfl[(i, k)] = L.sv_dot(S_free[i], F_leg[k])
+    arm = _f(m.dof_armature[6])  # all leg dofs share armature
+    for ki in range(NLEV):
+        for kj in range(ki + 1):
+            v = L.sv_dot(S_leg[kj], F_leg[ki])
+            if ki == kj:
+                v = L.add(v, arm)
+            Mll[(ki, kj)] = v
+    return Mff, Mfl, Mll
+
+
+def _rne_bias(m, kin, S_free, S_leg, v_base, v_leg, qv_free, qv_leg,
+              I_base, I_leg):
+    g = _v3c(m.gravity)
+    base_acc0 = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
+    # base joint bias velocity: v_base minus world-fixed translational part
+    vJ_base = v_base[:3] + (
+        L.sub(v_base[3], qv_free[0]),
+        L.sub(v_base[4], qv_free[1]),
+        L.sub(v_base[5], qv_free[2]),
+    )
+    acc_base = L.sv_add(base_acc0, L.motion_cross(v_base, vJ_base))
+    acc = []
+    prev_acc, prev_v = acc_base, v_base
+    for k in range(NLEV):
+        vJ = L.sv_scale(qv_leg[k], S_leg[k])  # hinge: vJ = S qdot (S-dot term)
+        a = L.sv_add(prev_acc, L.motion_cross(v_leg[k], vJ))
+        acc.append(a)
+        prev_acc, prev_v = a, v_leg[k]
+
+    def body_force(I, v, a):
+        return L.sv_add(L.inertia_vec(I, a),
+                        L.force_cross(v, L.inertia_vec(I, v)))
+
+    f_base = body_force(I_base, v_base, acc_base)
+    f_leg = [body_force(I_leg[k], v_leg[k], acc[k]) for k in range(NLEV)]
+    fsub = [None] * NLEV
+    accf = f_leg[NLEV - 1]
+    fsub[NLEV - 1] = accf
+    for k in range(NLEV - 2, -1, -1):
+        accf = L.sv_add(f_leg[k], accf)
+        fsub[k] = accf
+    fsub_base = tuple(
+        L.add(f_base[i], _sum_legs(fsub[0][i])) for i in range(6)
+    )
+    bias_free = [L.sv_dot(S_free[i], fsub_base) for i in range(6)]
+    bias_leg = [L.sv_dot(S_leg[k], fsub[k]) for k in range(NLEV)]
+    return bias_free, bias_leg
+
+
+def _actuation(m: PhysicsModel, q_leg, qv_leg, act_leg):
+    """All actuators drive leg dofs; per level (4, B)."""
+    ls = _leg_static(m)
+    qfrc, dvel = [], []
+    for k in range(NLEV):
+        u0 = next(
+            u for u in range(m.nu)
+            if m.actuator_trnid[u] == ls.leg_joints[k][0]
+        )
+        gear = _f(m.actuator_gear[u0])
+        gp, bp = m.actuator_gainprm[u0], m.actuator_biasprm[u0]
+        force = L.add(
+            L.mul(_f(gp[0]), act_leg[k]),
+            L.add(_f(bp[0]),
+                  L.add(L.mul(_f(bp[1]) * gear, q_leg[k]),
+                        L.mul(_f(bp[2]) * gear, qv_leg[k]))),
+        )
+        lo, hi = _f(m.actuator_forcerange[u0][0]), _f(m.actuator_forcerange[u0][1])
+        clamped = jnp.clip(force, lo, hi)
+        qfrc.append(L.mul(gear, clamped))
+        in_range = (force > lo) & (force < hi)
+        dvel.append(jnp.where(in_range, gear * gear * _f(bp[2]), 0.0).astype(
+            q_leg[k].dtype))
+    return qfrc, dvel
+
+
+# --------------------------------------------------------------------------
+# block tree-sparse LDLᵀ
+
+
+def _ldl_factor(Mff, Mfl, Mll):
+    """Factor the block matrix; legs factor in parallel on the leg axis."""
+    Hff, Hfl, Hll = dict(Mff), dict(Mfl), dict(Mll)
+    Dinv_l, Lll, Lfl = {}, {}, {}
+    for k in range(NLEV - 1, -1, -1):
+        dinv = 1.0 / Hll[(k, k)]
+        Dinv_l[k] = dinv
+        for i in range(k - 1, -1, -1):  # leg-level ancestors
+            a = Hll[(k, i)] * dinv  # (4,B)
+            for j in range(i, -1, -1):
+                Hll[(i, j)] = Hll[(i, j)] - a * Hll[(k, j)]
+            for jf in range(6):
+                Hfl[(jf, i)] = Hfl[(jf, i)] - a * Hfl[(jf, k)]
+            Lll[(k, i)] = a
+        for fi in range(5, -1, -1):  # free ancestors
+            a = Hfl[(fi, k)] * dinv  # (4,B)
+            for j in range(fi, -1, -1):
+                # contributions from the four legs accumulate into ff
+                Hff[(fi, j)] = Hff[(fi, j)] - jnp.sum(a * Hfl[(j, k)], axis=0)
+            Lfl[(k, fi)] = a
+    # dense 6x6 free block (parents chain 5 <- 4 <- ... <- 0)
+    Dinv_f, Lff = {}, {}
+    for k in range(5, -1, -1):
+        dinv = 1.0 / Hff[(k, k)]
+        Dinv_f[k] = dinv
+        for i in range(k - 1, -1, -1):
+            a = Hff[(k, i)] * dinv
+            for j in range(i, -1, -1):
+                Hff[(i, j)] = Hff[(i, j)] - a * Hff[(k, j)]
+            Lff[(k, i)] = a
+    return (Dinv_f, Dinv_l, Lff, Lfl, Lll)
+
+
+def _ldl_solve(fac, b_free, b_leg):
+    Dinv_f, Dinv_l, Lff, Lfl, Lll = fac
+    w_free = list(b_free)
+    w_leg = list(b_leg)
+    for k in range(NLEV - 1, -1, -1):
+        for i in range(k - 1, -1, -1):
+            w_leg[i] = w_leg[i] - Lll[(k, i)] * w_leg[k]
+        for fi in range(5, -1, -1):
+            w_free[fi] = w_free[fi] - jnp.sum(Lfl[(k, fi)] * w_leg[k], axis=0)
+    for k in range(5, -1, -1):
+        for i in range(k - 1, -1, -1):
+            w_free[i] = w_free[i] - Lff[(k, i)] * w_free[k]
+
+    x_free = [w_free[k] * Dinv_f[k] for k in range(6)]
+    x_leg = [w_leg[k] * Dinv_l[k] for k in range(NLEV)]
+    for k in range(6):
+        for i in range(k - 1, -1, -1):
+            x_free[k] = x_free[k] - Lff[(k, i)] * x_free[i]
+    for k in range(NLEV):
+        acc = x_leg[k]
+        for i in range(k - 1, -1, -1):
+            acc = acc - Lll[(k, i)] * x_leg[i]
+        for fi in range(6):
+            acc = acc - Lfl[(k, fi)] * x_free[fi]
+        x_leg[k] = acc
+    return x_free, x_leg
+
+
+def _sym_matvec(Mff, Mfl, Mll, x_free, x_leg):
+    y_free = []
+    for i in range(6):
+        acc = 0.0
+        for j in range(6):
+            acc = L.add(acc, L.mul(Mff[(max(i, j), min(i, j))], x_free[j]))
+        for k in range(NLEV):
+            acc = L.add(acc, _sum_legs(Mfl[(i, k)] * x_leg[k]))
+        y_free.append(acc)
+    y_leg = []
+    for ki in range(NLEV):
+        acc = 0.0
+        for kj in range(NLEV):
+            acc = L.add(acc, L.mul(Mll[(max(ki, kj), min(ki, kj))], x_leg[kj]))
+        for i in range(6):
+            acc = L.add(acc, Mfl[(i, ki)] * x_free[i])
+        y_leg.append(acc)
+    return y_free, y_leg
+
+
+# --------------------------------------------------------------------------
+# collision + constraint rows (all leg-batched: slots are (4, B))
+
+
+def _collide(m: PhysicsModel, kin: _Kin):
+    """Plane contacts for the four feet at once: 3 slots of (4, B)."""
+    ls = _leg_static(m)
+    st = _static(m)
+    n = st.plane_frame[0]
+    g0 = ls.foot_geoms[0]
+    dt = kin.base_pos[0].dtype
+
+    foot_mat = kin.leg_mat[NLEV - 1]
+    foot_pos = kin.leg_pos[NLEV - 1]
+    gpos = L.v3_add(foot_pos, L.mat_vec(foot_mat, _v3c(m.col_geom_pos[g0])))
+    gmat = L.mat_mul(
+        foot_mat,
+        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.col_geom_quat[g0])),
+    )
+    verts = np.asarray(m.col_hull_verts[g0])
+    V = verts.shape[0]
+    lane_ndim = jnp.ndim(gpos[0])  # == 2 (legs, batch)
+    vshape = (V,) + (1,) * lane_ndim
+    vx = jnp.asarray(verts[:, 0], dt).reshape(vshape)
+    vy = jnp.asarray(verts[:, 1], dt).reshape(vshape)
+    vz = jnp.asarray(verts[:, 2], dt).reshape(vshape)
+    vn2 = jnp.asarray(np.sum(verts**2, axis=1), dt).reshape(vshape)
+    vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
+
+    a = L.mat_tvec(gmat, n)
+    base = L.v3_dot(gpos, n) - st.plane_off
+    h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
+
+    margin = _f(m.col_margin[g0])
+    theta2 = _f(m.col_theta2[g0])
+    theta3 = _f(m.col_theta3[g0])
+    inc = _f(m.col_margin[g0] - m.col_gap[g0])
+
+    def vert_at(idx):
+        return tuple(jnp.take(vf, idx) for vf in vflat)
+
+    i0 = jnp.argmin(h, axis=0)
+    h0 = jnp.take_along_axis(h, i0[None], axis=0)[0]
+    v0 = vert_at(i0)
+    p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
+    a0 = h0 < margin
+
+    cand = h < 2.0 * margin
+    vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]
+    dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
+    dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
+    dmask = jnp.where(cand, dplan, -1.0)
+    i1 = jnp.argmax(dmask, axis=0)
+    d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
+    a1 = a0 & (d1 >= theta2)
+    v1 = vert_at(i1)
+    p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+    h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
+
+    u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+    inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+    dh = h1 - h0
+    t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
+    perp = L.v3_cross(n, t)
+    gq = L.mat_tvec(gmat, perp)
+    cdot = vx * gq[0][None] + vy * gq[1][None] + vz * gq[2][None]
+    cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, gq)[None]), -1.0)
+    i2 = jnp.argmax(cmask, axis=0)
+    c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
+    a2 = a1 & (c2 >= theta3)
+    v2 = vert_at(i2)
+    p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+    h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
+
+    slots = []
+    for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+        pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
+        slots.append((pos, hi, ai & (hi < inc)))
+    return slots
+
+
+def _collide_loop(m: PhysicsModel, kin: _Kin):
+    """Same three contact slots as ``_collide`` but with the argmin/gather
+    selections rewritten as unrolled select-loops over the hull vertices —
+    no dynamic gathers, so it lowers inside Pallas/Mosaic kernels (and the
+    decimated planning hulls keep V small)."""
+    ls = _leg_static(m)
+    st = _static(m)
+    n = st.plane_frame[0]
+    g0 = ls.foot_geoms[0]
+
+    foot_mat = kin.leg_mat[NLEV - 1]
+    foot_pos = kin.leg_pos[NLEV - 1]
+    gpos = L.v3_add(foot_pos, L.mat_vec(foot_mat, _v3c(m.col_geom_pos[g0])))
+    gmat = L.mat_mul(
+        foot_mat,
+        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.col_geom_quat[g0])),
+    )
+    verts = np.asarray(m.col_hull_verts[g0])
+    V = verts.shape[0]
+
+    a = L.mat_tvec(gmat, n)
+    base = L.v3_dot(gpos, n) - st.plane_off
+    # per-vertex heights, as a python list of (4, B) lanes (no V axis)
+    hs = [
+        L.add(L.add(L.mul(float(verts[i, 0]), a[0]),
+                    L.mul(float(verts[i, 1]), a[1])),
+              L.add(L.mul(float(verts[i, 2]), a[2]), base))
+        for i in range(V)
+    ]
+
+    margin = _f(m.col_margin[g0])
+    theta2 = _f(m.col_theta2[g0])
+    theta3 = _f(m.col_theta3[g0])
+    inc = _f(m.col_margin[g0] - m.col_gap[g0])
+
+    # slot 0: deepest vertex (min height)
+    b_h = hs[0]
+    b_v = tuple(jnp.full_like(hs[0], float(verts[0, c])) for c in range(3))
+    for i in range(1, V):
+        take = hs[i] < b_h
+        b_v = tuple(jnp.where(take, float(verts[i, c]), b_v[c]) for c in range(3))
+        b_h = jnp.where(take, hs[i], b_h)
+    h0, v0 = b_h, b_v
+    p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
+    a0 = h0 < margin
+
+    # slot 1: max in-plane distance from v0 among candidates (h < 2*margin)
+    vn2 = [float(np.sum(verts[i] ** 2)) for i in range(V)]
+    v0n2 = L.v3_dot(v0, v0)
+    neg = jnp.full_like(h0, -1.0)
+    b_s = neg
+    b_v1 = tuple(jnp.zeros_like(h0) for _ in range(3))
+    b_h1 = jnp.zeros_like(h0)
+    for i in range(V):
+        vdot0 = (float(verts[i, 0]) * v0[0] + float(verts[i, 1]) * v0[1]
+                 + float(verts[i, 2]) * v0[2])
+        dv2 = vn2[i] - 2.0 * vdot0 + v0n2
+        dplan = jnp.sqrt(jnp.maximum(dv2 - (hs[i] - h0) ** 2, 0.0))
+        s_i = jnp.where(hs[i] < 2.0 * margin, dplan, neg)
+        take = s_i > b_s
+        b_s = jnp.where(take, s_i, b_s)
+        b_v1 = tuple(jnp.where(take, float(verts[i, c]), b_v1[c]) for c in range(3))
+        b_h1 = jnp.where(take, hs[i], b_h1)
+    d1, v1, h1 = b_s, b_v1, b_h1
+    a1 = a0 & (d1 >= theta2)
+    p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+
+    # slot 2: max perpendicular spread
+    u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+    inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+    dh = h1 - h0
+    t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
+    perp = L.v3_cross(n, t)
+    gq = L.mat_tvec(gmat, perp)
+    v0gq = L.v3_dot(v0, gq)
+    b_s = neg
+    b_v2 = tuple(jnp.zeros_like(h0) for _ in range(3))
+    b_h2 = jnp.zeros_like(h0)
+    for i in range(V):
+        cdot = (float(verts[i, 0]) * gq[0] + float(verts[i, 1]) * gq[1]
+                + float(verts[i, 2]) * gq[2])
+        s_i = jnp.where(hs[i] < 2.0 * margin, jnp.abs(cdot - v0gq), neg)
+        take = s_i > b_s
+        b_s = jnp.where(take, s_i, b_s)
+        b_v2 = tuple(jnp.where(take, float(verts[i, c]), b_v2[c]) for c in range(3))
+        b_h2 = jnp.where(take, hs[i], b_h2)
+    c2, v2, h2 = b_s, b_v2, b_h2
+    a2 = a1 & (c2 >= theta3)
+    p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+
+    slots = []
+    for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+        pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
+        slots.append((pos, hi, ai & (hi < inc)))
+    return slots
+
+
+class _Rows(NamedTuple):
+    lim_sign: tuple  # [level] (4, B)
+    slot_J: tuple  # per slot: (Jn_free [6 of (4,B)], Jn_leg [3 of (4,B)],
+    #                            Jt1_..., Jt2_...)
+    mu: float
+    aref: jnp.ndarray  # (ngroups, 4, B): 3 limit groups + 4*nslot facets
+    D: jnp.ndarray
+
+
+def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
+               qv_leg, slots):
+    ls = _leg_static(m)
+    st = _static(m)
+    n, t1, t2 = st.plane_frame
+    aref_rows, D_rows = [], []
+    lim_sign = []
+
+    # ---- joint limits: one group per level, rows (4, B) ----
+    for k in range(NLEV):
+        j0 = ls.leg_joints[k][0]
+        lo, hi = _f(m.jnt_range[j0][0]), _f(m.jnt_range[j0][1])
+        d_lo = q_leg[k] - lo
+        d_hi = hi - q_leg[k]
+        lower = d_lo <= d_hi
+        dist = jnp.where(lower, d_lo, d_hi)
+        sign = jnp.where(lower, 1.0, -1.0).astype(dist.dtype)
+        margin = _f(m.jnt_margin[j0])
+        active = dist < margin
+        r = dist - margin
+        imp = _imp_lane(_impedance_np_params(m.jnt_solimp[j0]), r)
+        K, B = _kb_from_solref(m.jnt_solref[j0], m.jnt_solimp[j0])
+        vel = sign * qv_leg[k]
+        aref_rows.append(-B * vel - K * imp * r)
+        da0 = m.jnt_dofadr[j0]
+        R = jnp.maximum((1.0 - imp) / imp * _f(m.dof_invweight0[da0]), 1e-15)
+        D_rows.append(jnp.where(active, 1.0 / R, 0.0))
+        lim_sign.append(sign)
+
+    # ---- contact slots ----
+    g0 = ls.foot_geoms[0]
+    foot_b0 = ls.leg_bodies[NLEV - 1][0]
+    mu = _f(m.col_friction[g0][0])
+    slot_J = []
+    for (pos, dist, active) in slots:
+        rel = L.v3_sub(pos, kin.origin)  # (4, B) Vec3
+
+        def proj_rows(S_rows):
+            Jn, Jt1, Jt2 = [], [], []
+            for S in S_rows:
+                c = L.v3_cross(L.sv_ang(S), rel)
+                w = L.v3_add(c, L.sv_lin(S))
+                Jn.append(L.v3_dot(w, n))
+                Jt1.append(L.v3_dot(w, t1))
+                Jt2.append(L.v3_dot(w, t2))
+            return Jn, Jt1, Jt2
+
+        Jn_f, Jt1_f, Jt2_f = proj_rows(S_free)
+        Jn_l, Jt1_l, Jt2_l = proj_rows(S_leg)
+        J = (tuple(Jn_f), tuple(Jn_l), tuple(Jt1_f), tuple(Jt1_l),
+             tuple(Jt2_f), tuple(Jt2_l))
+        slot_J.append(J)
+
+        margin = _f(m.col_margin[g0] - m.col_gap[g0])
+        r = dist - margin
+        imp = _imp_lane(_impedance_np_params(m.col_solimp[g0]), r)
+        K, B = _kb_from_solref(m.col_solref[g0], m.col_solimp[g0])
+        diagA = 2.0 * _f(m.body_invweight0[foot_b0][0]) * (1.0 + mu * mu)
+        R = jnp.maximum((1.0 - imp) / imp * diagA, 1e-15)
+        Dslot = jnp.where(active, 1.0 / R, 0.0)
+        # facet velocities J_facet . qvel
+        vn, v1_, v2_ = 0.0, 0.0, 0.0
+        for i in range(6):
+            vn = L.add(vn, L.mul(J[0][i], qv_free[i]))
+            v1_ = L.add(v1_, L.mul(J[2][i], qv_free[i]))
+            v2_ = L.add(v2_, L.mul(J[4][i], qv_free[i]))
+        for k in range(NLEV):
+            vn = L.add(vn, L.mul(J[1][k], qv_leg[k]))
+            v1_ = L.add(v1_, L.mul(J[3][k], qv_leg[k]))
+            v2_ = L.add(v2_, L.mul(J[5][k], qv_leg[k]))
+        for sgn, vt in ((1.0, v1_), (-1.0, v1_), (1.0, v2_), (-1.0, v2_)):
+            vel = L.add(vn, L.mul(sgn * mu, vt))
+            aref_rows.append(L.sub(L.mul(-B, vel), K * imp * r))
+            D_rows.append(Dslot)
+
+    like = aref_rows[-1]
+    return _Rows(
+        lim_sign=tuple(lim_sign),
+        slot_J=tuple(slot_J),
+        mu=mu,
+        aref=jnp.stack([L.as_lane(x, like) for x in aref_rows]),
+        D=jnp.stack([L.as_lane(x, like) for x in D_rows]),
+    )
+
+
+def _rows_matvec(rows: _Rows, x_free, x_leg) -> jnp.ndarray:
+    """J x -> (ngroups, 4, B)."""
+    out = [rows.lim_sign[k] * x_leg[k] for k in range(NLEV)]
+    mu = rows.mu
+    for J in rows.slot_J:
+        vn, v1, v2 = 0.0, 0.0, 0.0
+        for i in range(6):
+            vn = L.add(vn, L.mul(J[0][i], x_free[i]))
+            v1 = L.add(v1, L.mul(J[2][i], x_free[i]))
+            v2 = L.add(v2, L.mul(J[4][i], x_free[i]))
+        for k in range(NLEV):
+            vn = L.add(vn, L.mul(J[1][k], x_leg[k]))
+            v1 = L.add(v1, L.mul(J[3][k], x_leg[k]))
+            v2 = L.add(v2, L.mul(J[5][k], x_leg[k]))
+        mv1 = L.mul(mu, v1)
+        mv2 = L.mul(mu, v2)
+        out += [L.add(vn, mv1), L.sub(vn, mv1), L.add(vn, mv2), L.sub(vn, mv2)]
+    return jnp.stack(out)
+
+
+def _rows_tmatvec(rows: _Rows, y: jnp.ndarray):
+    """Jᵀ y -> (list of 6 (B,), list of NLEV (4, B))."""
+    y_free = [0.0] * 6
+    y_leg = [rows.lim_sign[k] * y[k] for k in range(NLEV)]
+    mu = rows.mu
+    for s, J in enumerate(rows.slot_J):
+        r0 = NLEV + 4 * s
+        yn = y[r0] + y[r0 + 1] + y[r0 + 2] + y[r0 + 3]
+        y1 = mu * (y[r0] - y[r0 + 1])
+        y2 = mu * (y[r0 + 2] - y[r0 + 3])
+        for i in range(6):
+            contrib = L.add(
+                L.mul(J[0][i], yn),
+                L.add(L.mul(J[2][i], y1), L.mul(J[4][i], y2)),
+            )
+            y_free[i] = L.add(y_free[i], _sum_legs(contrib))
+        for k in range(NLEV):
+            y_leg[k] = L.add(
+                y_leg[k],
+                L.add(L.mul(J[1][k], yn),
+                      L.add(L.mul(J[3][k], y1), L.mul(J[5][k], y2))),
+            )
+    return y_free, y_leg
+
+
+def _add_jwj(Mff, Mfl, Mll, rows: _Rows, w: jnp.ndarray):
+    """H = M + Jᵀ diag(w) J on the block pattern."""
+    Hff, Hfl, Hll = dict(Mff), dict(Mfl), dict(Mll)
+    for k in range(NLEV):  # limit rows: sign^2 == 1, per-leg diagonal
+        Hll[(k, k)] = Hll[(k, k)] + w[k]
+    mu = rows.mu
+    for s, J in enumerate(rows.slot_J):
+        r0 = NLEV + 4 * s
+        w1, w2, w3, w4 = w[r0], w[r0 + 1], w[r0 + 2], w[r0 + 3]
+        cnn = w1 + w2 + w3 + w4
+        c11 = mu * mu * (w1 + w2)
+        c22 = mu * mu * (w3 + w4)
+        cn1 = mu * (w1 - w2)
+        cn2 = mu * (w3 - w4)
+        Jn_f, Jn_l, Jt1_f, Jt1_l, Jt2_f, Jt2_l = J
+
+        def pairval(ni, t1i, t2i, nj, t1j, t2j):
+            return (
+                cnn * ni * nj + c11 * t1i * t1j + c22 * t2i * t2j
+                + cn1 * (ni * t1j + t1i * nj) + cn2 * (ni * t2j + t2i * nj)
+            )
+
+        for i in range(6):
+            for j in range(i + 1):
+                Hff[(i, j)] = Hff[(i, j)] + jnp.sum(
+                    pairval(Jn_f[i], Jt1_f[i], Jt2_f[i],
+                            Jn_f[j], Jt1_f[j], Jt2_f[j]),
+                    axis=0,
+                )
+            for k in range(NLEV):
+                Hfl[(i, k)] = Hfl[(i, k)] + pairval(
+                    Jn_f[i], Jt1_f[i], Jt2_f[i], Jn_l[k], Jt1_l[k], Jt2_l[k]
+                )
+        for ki in range(NLEV):
+            for kj in range(ki + 1):
+                Hll[(ki, kj)] = Hll[(ki, kj)] + pairval(
+                    Jn_l[ki], Jt1_l[ki], Jt2_l[ki],
+                    Jn_l[kj], Jt1_l[kj], Jt2_l[kj],
+                )
+    return Hff, Hfl, Hll
+
+
+def _newton_solve(m, Mff, Mfl, Mll, rows: _Rows, qa_free, qa_leg,
+                  iterations, ls_iterations):
+    def body(carry, _):
+        xf_s, xl_s = carry  # (6, B), (NLEV, 4, B)
+        x_free = [xf_s[i] for i in range(6)]
+        x_leg = [xl_s[k] for k in range(NLEV)]
+        jar = _rows_matvec(rows, x_free, x_leg) - rows.aref
+        w = jnp.where((jar < 0.0) & (rows.D > 0.0), rows.D, 0.0)
+        gs_free, gs_leg = _sym_matvec(
+            Mff, Mfl, Mll,
+            [x_free[i] - qa_free[i] for i in range(6)],
+            [x_leg[k] - qa_leg[k] for k in range(NLEV)],
+        )
+        jt_free, jt_leg = _rows_tmatvec(rows, w * jar)
+        g_free = [L.add(gs_free[i], jt_free[i]) for i in range(6)]
+        g_leg = [L.add(gs_leg[k], jt_leg[k]) for k in range(NLEV)]
+        H = _add_jwj(Mff, Mfl, Mll, rows, w)
+        fac = _ldl_factor(*H)
+        dx_free, dx_leg = _ldl_solve(
+            fac, [L.neg(g) for g in g_free], [L.neg(g) for g in g_leg]
+        )
+
+        Jdx = _rows_matvec(rows, dx_free, dx_leg)
+        mdx_free, mdx_leg = _sym_matvec(Mff, Mfl, Mll, dx_free, dx_leg)
+        g0 = sum(dx_free[i] * gs_free[i] for i in range(6)) + sum(
+            _sum_legs(dx_leg[k] * gs_leg[k]) for k in range(NLEV)
+        )
+        h0 = sum(dx_free[i] * mdx_free[i] for i in range(6)) + sum(
+            _sum_legs(dx_leg[k] * mdx_leg[k]) for k in range(NLEV)
+        )
+
+        def ls_body(t, _):
+            jar_t = jar + t[None, None] * Jdx
+            w_t = jnp.where((jar_t < 0.0) & (rows.D > 0.0), rows.D, 0.0)
+            dphi = g0 + t * h0 + jnp.sum(w_t * jar_t * Jdx, axis=(0, 1))
+            ddphi = h0 + jnp.sum(w_t * Jdx * Jdx, axis=(0, 1))
+            return jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-30), 0.0, 4.0), None
+
+        t0 = jnp.ones_like(xf_s[0])
+        t = jax.lax.fori_loop(
+            0, ls_iterations, lambda _, tt: ls_body(tt, None)[0], t0
+        )
+        xf_new = jnp.stack([x_free[i] + t * dx_free[i] for i in range(6)])
+        xl_new = jnp.stack(
+            [x_leg[k] + t[None] * dx_leg[k] for k in range(NLEV)]
+        )
+        return (xf_new, xl_new), None
+
+    carry0 = (jnp.stack(qa_free), jnp.stack(qa_leg))
+    xf_s, xl_s = jax.lax.fori_loop(
+        0, iterations, lambda _, c: body(c, None)[0], carry0
+    )
+    x_free = [xf_s[i] for i in range(6)]
+    x_leg = [xl_s[k] for k in range(NLEV)]
+    jar = _rows_matvec(rows, x_free, x_leg) - rows.aref
+    force = jnp.where((jar < 0.0) & (rows.D > 0.0), -rows.D * jar, 0.0)
+    qfrc_free, qfrc_leg = _rows_tmatvec(rows, force)
+    return x_free, x_leg, qfrc_free, qfrc_leg
+
+
+# --------------------------------------------------------------------------
+# sensors (the IMU site lives on the base — no leg accelerations needed)
+
+
+def _sensors(m: PhysicsModel, kin: _Kin, v_base, cacc_base, q_free, q_leg):
+    b = m.site_bodyid
+    ls = _leg_static(m)
+    assert b == ls.base
+    spos = L.v3_add(kin.base_pos, L.mat_vec(kin.base_mat, _v3c(m.site_pos)))
+    smat = L.mat_mul(
+        kin.base_mat,
+        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.site_quat)),
+    )
+    w = L.sv_ang(v_base)
+    v0 = L.sv_lin(v_base)
+    p = L.v3_sub(spos, kin.origin)
+    v_site = L.v3_add(v0, L.v3_cross(w, p))
+    alpha = L.sv_ang(cacc_base)
+    a0 = L.sv_lin(cacc_base)
+    a_site = L.v3_add(a0, L.v3_add(L.v3_cross(alpha, p), L.v3_cross(w, v_site)))
+
+    from ..models.spec import (
+        SENSOR_ACCELEROMETER, SENSOR_FRAMELINVEL, SENSOR_FRAMEPOS,
+        SENSOR_FRAMEXAXIS, SENSOR_FRAMEZAXIS, SENSOR_GYRO, SENSOR_JOINTPOS,
+        SENSOR_VELOCIMETER,
+    )
+
+    out = [None] * m.nsensordata
+    for s in m.sensors:
+        if s.kind == SENSOR_JOINTPOS:
+            j = s.objid
+            qa = m.jnt_qposadr[j]
+            lvl = (qa - 7) % 3
+            leg = (qa - 7) // 3
+            out[s.adr] = q_leg[lvl][leg]
+        elif s.kind == SENSOR_ACCELEROMETER:
+            r = L.mat_tvec(smat, a_site)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_GYRO:
+            r = L.mat_tvec(smat, w)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_FRAMEPOS:
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = spos
+        elif s.kind == SENSOR_FRAMELINVEL:
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = v_site
+        elif s.kind == SENSOR_FRAMEXAXIS:
+            r = L.mat_col(smat, 0)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_FRAMEZAXIS:
+            r = L.mat_col(smat, 2)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        elif s.kind == SENSOR_VELOCIMETER:
+            r = L.mat_tvec(smat, v_site)
+            out[s.adr], out[s.adr + 1], out[s.adr + 2] = r
+        else:
+            raise NotImplementedError(f"sensor kind {s.kind}")
+    like = out[18]  # framepos x — always a (B,) array
+    return L.stack_lanes(out, like)
+
+
+# --------------------------------------------------------------------------
+# the step
+
+
+_LEVEL_QIDX: dict = {}
+
+
+def _level_indices(m):
+    key = id(m)
+    if key not in _LEVEL_QIDX:
+        q_idx = [[7 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
+        v_idx = [[6 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
+        a_idx = [[3 * l + k for l in range(NLEG)] for k in range(NLEV)]
+        _LEVEL_QIDX[key] = (q_idx, v_idx, a_idx)
+    return _LEVEL_QIDX[key]
+
+
+def _rows(arr, idx):
+    """Gather-free row selection: stack static row slices (Mosaic-safe)."""
+    return jnp.stack([arr[i] for i in idx])
+
+
+def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
+               compute_sensors=True, collide_fn=None, const_full=False):
+    st = _leg_static(m)
+    h = m.timestep
+    q_idx, v_idx, a_idx = _level_indices(m)
+
+    q_free = [ls.qpos[i] for i in range(7)]
+    qv_free = [ls.qvel[i] for i in range(6)]
+    q_leg = [_rows(ls.qpos, q_idx[k]) for k in range(NLEV)]  # (4, B)
+    qv_leg = [_rows(ls.qvel, v_idx[k]) for k in range(NLEV)]
+    act_leg = [_rows(ls.act, a_idx[k]) for k in range(NLEV)]
+    j0s = [st.leg_joints[k][0] for k in range(NLEV)]
+    u0s = [next(u for u in range(m.nu) if m.actuator_trnid[u] == j0s[k])
+           for k in range(NLEV)]
+    ctrl_leg = [
+        jnp.clip(_rows(ctrl, a_idx[k]),
+                 _f(m.actuator_ctrlrange[u0s[k]][0]),
+                 _f(m.actuator_ctrlrange[u0s[k]][1]))
+        for k in range(NLEV)
+    ]
+
+    kin = _fk(m, q_free, q_leg, const_full=const_full)
+    S_free, S_leg = _subspace(m, kin)
+    v_base, v_leg = _body_velocities(m, S_free, S_leg, qv_free, qv_leg)
+    I_base, I_leg = _inertias(m, kin)
+    Mff, Mfl, Mll = _crba(m, S_free, S_leg, I_base, I_leg)
+    bias_free, bias_leg = _rne_bias(
+        m, kin, S_free, S_leg, v_base, v_leg, qv_free, qv_leg, I_base, I_leg
+    )
+    qfrc_act, dvel_leg = _actuation(m, q_leg, qv_leg, act_leg)
+    damp_leg = _f(m.dof_damping[6])
+    qf_free = [
+        L.sub(L.mul(-_f(m.dof_damping[i]), qv_free[i]), bias_free[i])
+        for i in range(6)
+    ]
+    qf_leg = [
+        L.sub(L.sub(qfrc_act[k], L.mul(damp_leg, qv_leg[k])), bias_leg[k])
+        for k in range(NLEV)
+    ]
+
+    fac = _ldl_factor(Mff, Mfl, Mll)
+    qa_free, qa_leg = _ldl_solve(fac, qf_free, qf_leg)
+
+    if solver_iterations > 0:
+        slots = (collide_fn or _collide)(m, kin)
+        rows = _make_rows(m, kin, S_free, S_leg, q_leg, qv_free, qv_leg, slots)
+        x_free, x_leg, _, _ = _newton_solve(
+            m, Mff, Mfl, Mll, rows, qa_free, qa_leg,
+            solver_iterations, ls_iterations,
+        )
+    else:
+        x_free, x_leg = qa_free, qa_leg
+
+    # sensors (pre-integration, base site only)
+    if compute_sensors:
+        g = _v3c(m.gravity)
+        vJ_base = v_base[:3] + (
+            L.sub(v_base[3], qv_free[0]),
+            L.sub(v_base[4], qv_free[1]),
+            L.sub(v_base[5], qv_free[2]),
+        )
+        cacc_base = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
+        for d in range(6):
+            cacc_base = L.sv_add(cacc_base, L.sv_scale(x_free[d], S_free[d]))
+        cacc_base = L.sv_add(cacc_base, L.motion_cross(v_base, vJ_base))
+        sens = _sensors(m, kin, v_base, cacc_base, q_free, q_leg)
+    else:
+        sens = ls.sensordata
+
+    # implicitfast: (M - h diag(D)) dv = h M qacc
+    Mff_h, Mfl_h, Mll_h = dict(Mff), dict(Mfl), dict(Mll)
+    for i in range(6):
+        Dv = -_f(m.dof_damping[i])
+        if Dv:
+            Mff_h[(i, i)] = L.sub(Mff_h[(i, i)], h * Dv)
+    for k in range(NLEV):
+        Dv = L.add(-damp_leg, dvel_leg[k])
+        Mll_h[(k, k)] = Mll_h[(k, k)] - h * Dv
+    fac_h = _ldl_factor(Mff_h, Mfl_h, Mll_h)
+    Mq_free, Mq_leg = _sym_matvec(Mff, Mfl, Mll, x_free, x_leg)
+    dv_free, dv_leg = _ldl_solve(
+        fac_h, [h * v for v in Mq_free], [h * v for v in Mq_leg]
+    )
+    qv_free_new = [qv_free[i] + dv_free[i] for i in range(6)]
+    qv_leg_new = [qv_leg[k] + dv_leg[k] for k in range(NLEV)]
+
+    # activation exact filter (shared tau)
+    tau = max(_f(m.actuator_dynprm[u0s[0]][0]), 1e-12)
+    coef = 1.0 - float(np.exp(-h / tau))
+    act_new = [act_leg[k] + (ctrl_leg[k] - act_leg[k]) * coef
+               for k in range(NLEV)]
+
+    # integrate positions with the new velocity
+    base_pos_new = [q_free[i] + h * qv_free_new[i] for i in range(3)]
+    quat_new = L.quat_integrate(
+        (q_free[3], q_free[4], q_free[5], q_free[6]),
+        (qv_free_new[3], qv_free_new[4], qv_free_new[5]),
+        h,
+    )
+    q_leg_new = [q_leg[k] + h * qv_leg_new[k] for k in range(NLEV)]
+
+    # repack (leg-major row order: 7 + 3l + k)
+    def pack_levels(levels):  # NLEV of (4, B) -> (12, B) rows 3l+k
+        return jnp.stack(
+            [levels[k][l] for l in range(NLEG) for k in range(NLEV)]
+        )
+
+    qpos = jnp.concatenate([
+        jnp.stack(base_pos_new + list(quat_new)),
+        pack_levels(q_leg_new),
+    ])
+    qvel = jnp.concatenate([
+        jnp.stack(qv_free_new), pack_levels(qv_leg_new),
+    ])
+    act = pack_levels(act_new)
+    return LaneState(
+        qpos=qpos, qvel=qvel, act=act, time=ls.time + h, sensordata=sens,
+    )
+
+
+def step(m: PhysicsModel, ls: LaneState, ctrl: jnp.ndarray,
+         solver_iterations: int = 4, ls_iterations: int = 8) -> LaneState:
+    """One physics step (mj_step semantics), leg-batched."""
+    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)
+
+
+def control_step(m: PhysicsModel, ls: LaneState, ctrl: jnp.ndarray,
+                 frame_skip: int, solver_iterations: int = 4,
+                 ls_iterations: int = 8) -> LaneState:
+    """frame_skip substeps under constant control (sensors on the last)."""
+
+    def body(s, _):
+        return _step_impl(m, s, ctrl, solver_iterations, ls_iterations,
+                          compute_sensors=False), None
+
+    if frame_skip > 1:
+        ls, _ = jax.lax.scan(body, ls, None, length=frame_skip - 1)
+    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)

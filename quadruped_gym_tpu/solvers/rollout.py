@@ -120,6 +120,7 @@ def lane_batched_rollout_cost(
     prev_ctrl0: jnp.ndarray,
     newton_iterations: int = 4,
     ls_iterations: int = 8,
+    engine_impl: str = "leg",
 ) -> jnp.ndarray:
     """(S,) total costs through the lane-batched (batch-minor) engine.
 
@@ -128,8 +129,23 @@ def lane_batched_rollout_cost(
     measured ~5x faster per step at batch 4096 on v5e. The Newton budget is
     a fixed iteration count (no convergence branching); ``max_contacts`` is
     ignored because every collision slot is a masked constraint row. Pair
-    with ``spec.get_planning_model()`` for the fastest configuration."""
+    with ``spec.get_planning_model()`` for the fastest configuration.
+
+    ``engine_impl`` selects the batch-minor engine: ``"pallas"`` (TPU
+    only) fuses the whole substep into one Mosaic kernel — the fastest
+    path, ~7x over XLA (HBM-bound) — ``"leg"`` (default) folds the four
+    identical legs into a (4, B) lane dim, and ``"lane"`` unrolls them
+    (tests/test_leg_engine.py, tests/test_pallas_engine.py validate
+    agreement)."""
     from ..ops import lane_engine
+    from ..ops import leg_engine as _leg_engine
+
+    if engine_impl == "pallas" and _leg_engine.is_compatible(m):
+        from ..ops import pallas_engine as eng
+    elif engine_impl in ("leg", "pallas") and _leg_engine.is_compatible(m):
+        eng = _leg_engine
+    else:
+        eng = lane_engine
 
     S, H, nu = ctrl_seqs.shape
     dt = ctrl_seqs.dtype
@@ -149,7 +165,7 @@ def lane_batched_rollout_cost(
 
     def body(carry, ctrl_t):
         st, prev = carry
-        st = lane_engine.control_step(
+        st = eng.control_step(
             m, st, ctrl_t, cfg.frame_skip,
             solver_iterations=newton_iterations,
             ls_iterations=ls_iterations,

@@ -1,0 +1,78 @@
+"""Pallas substep kernel vs the leg-batched engine (interpret mode).
+
+The kernel body is ``leg_engine._step_impl`` itself with Mosaic-safe
+substitutions (loop-select collision, full-shape leg constants), so
+interpret-mode agreement at f64 machine precision plus the leg engine's
+own oracle parity chain (tests/test_leg_engine.py -> per-env engine ->
+CPU MuJoCo) validates the fused TPU path. On-device agreement at f32
+rounding level is exercised by the TPU verify drive and bench.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_gym_tpu.models import spec
+from quadruped_gym_tpu.ops import lane_engine, leg_engine, pallas_engine
+from quadruped_gym_tpu.physics import engine
+
+
+@pytest.fixture(scope="module")
+def m():
+    return spec.get_planning_model()
+
+
+def _states(m, B, key, airborne=False):
+    st = engine.make_state(m, dtype=jnp.float64)
+    k1, k2 = jax.random.split(key)
+    qpos = st.qpos[None] + 0.05 * jax.random.normal(k1, (B, m.nq), jnp.float64)
+    if airborne:
+        qpos = qpos.at[:, 2].add(0.5)
+    qvel = st.qvel[None] + 0.1 * jax.random.normal(k2, (B, m.nv), jnp.float64)
+    act = jnp.tile(jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1))
+    time = jnp.zeros(B, jnp.float64)
+    sens = jnp.zeros((B, m.nsensordata), jnp.float64)
+    return lane_engine.from_batched(qpos, qvel, act, time, sens)
+
+
+@pytest.mark.parametrize("airborne", [True, False])
+def test_pallas_step_matches_leg_engine(m, airborne):
+    B = 16
+    ls = _states(m, B, jax.random.PRNGKey(2 if airborne else 3), airborne)
+    ctrl = jnp.tile(
+        jnp.asarray(np.array([0.1, -0.1, -0.5] * 4)), (B, 1)
+    ).T
+
+    out = pallas_engine.step(m, ls, ctrl, 4, 8, block=B, interpret=True)
+    ref = leg_engine.step(m, ls, ctrl, 4, 8)
+
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.act), np.asarray(ref.act),
+                               rtol=1e-14, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(out.sensordata), np.asarray(ref.sensordata),
+        rtol=1e-10, atol=1e-11,
+    )
+    np.testing.assert_allclose(np.asarray(out.time), np.asarray(ref.time),
+                               rtol=0, atol=0)
+
+
+def test_pallas_control_step_matches_leg_engine(m):
+    B = 16
+    ls = _states(m, B, jax.random.PRNGKey(4))
+    ctrl = jnp.tile(
+        jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1)
+    ).T
+
+    out = pallas_engine.control_step(m, ls, ctrl, 3, 4, 8, block=B,
+                                     interpret=True)
+    ref = leg_engine.control_step(m, ls, ctrl, 3, 4, 8)
+
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel),
+                               rtol=1e-8, atol=1e-9)
