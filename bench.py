@@ -35,7 +35,10 @@ def main():
 
     m = spec.get_planning_model()
     cfg = rollout.RolloutConfig(horizon=50, frame_skip=5)
-    S = 4096  # rollouts per solve (BASELINE config 2/3 scale)
+    # rollouts per solve: large enough to amortize the ~30 ms axon-tunnel
+    # round trip per dispatch (device-side cost is ~5 ms per 1024 lanes;
+    # throughput asymptotes ~205k r/s)
+    S = 65536
     cost_fn = rollout.make_cost_fn(m)
     state = engine.make_state(m)
     from quadruped_gym_tpu.tasks import commands
@@ -47,7 +50,7 @@ def main():
     def score(seqs):
         return rollout.lane_batched_rollout_cost(
             m, cfg, cost_fn, state, seqs, cmd, prev,
-            newton_iterations=4, ls_iterations=8, engine_impl="pallas",
+            newton_iterations=4, ls_iterations=8, engine_impl="fused",
         )
 
     # distinct control batches per timed iteration: the axon TPU tunnel

@@ -54,10 +54,45 @@ def autoreset_step(
     )
 
 
+def batched_autoreset_step(
+    m: PhysicsModel, cfg: walking.WalkingConfig, st: walking.WalkingState,
+    action: jnp.ndarray, engine_impl: str = "auto",
+) -> VectorStepOutput:
+    """``vmap(autoreset_step)`` semantics with physics through the
+    batch-minor lane/leg engine (see ``walking.batched_step``) — the
+    training-throughput path. The reset branch (no physics) stays vmapped."""
+    out = walking.batched_step(m, cfg, st, action, engine_impl=engine_impl)
+
+    def _fresh_one(key, est, rew):
+        key, sub = jax.random.split(key)
+        fresh, fresh_obs = walking.reset(m, cfg, sub, persistent=(est, rew))
+        return fresh._replace(key=key), fresh_obs
+
+    fresh, fresh_obs = jax.vmap(_fresh_one)(
+        out.state.key, out.state.est, out.state.rew
+    )
+    done = out.terminated
+
+    def _sel(a, b):
+        mask = done.reshape(done.shape + (1,) * (a.ndim - 1))
+        return jnp.where(mask, a, b)
+
+    new_state = jax.tree.map(_sel, fresh, out.state)
+    obs = _sel(fresh_obs, out.obs)
+    return VectorStepOutput(
+        state=new_state,
+        obs=obs,
+        reward=out.reward,
+        done=done,
+        reward_components=out.reward_components,
+    )
+
+
 class VectorWalkingEnv:
     """Batched auto-resetting environment with jitted reset/step."""
 
-    def __init__(self, m: PhysicsModel, cfg: walking.WalkingConfig, num_envs: int):
+    def __init__(self, m: PhysicsModel, cfg: walking.WalkingConfig,
+                 num_envs: int, lane_physics: bool = False):
         self.m = m
         self.cfg = cfg
         self.num_envs = num_envs
@@ -67,9 +102,14 @@ class VectorWalkingEnv:
             return walking.reset(m, cfg, key)
 
         self._reset = jax.jit(jax.vmap(_reset_one))
-        self._step = jax.jit(
-            jax.vmap(lambda st, a: autoreset_step(m, cfg, st, a))
-        )
+        if lane_physics:
+            self._step = jax.jit(
+                lambda st, a: batched_autoreset_step(m, cfg, st, a)
+            )
+        else:
+            self._step = jax.jit(
+                jax.vmap(lambda st, a: autoreset_step(m, cfg, st, a))
+            )
 
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)

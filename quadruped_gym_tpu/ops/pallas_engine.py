@@ -136,3 +136,171 @@ def control_step(
 
     ls, _ = jax.lax.scan(body, ls, None, length=frame_skip)
     return ls
+
+
+# --------------------------------------------------------------------------
+# fused whole-rollout kernel
+#
+# Each pallas_call launch carries a fixed ~120 us of overhead on this
+# device; per-substep kernels pay it 250x per H=50 solve (~30 ms, ~half
+# the solve). The rollout kernel runs ALL H x frame_skip substeps plus the
+# stage costs inside one launch per batch tile.
+
+
+def _lane_stage_cost(sl, sens, ctrl, prev, u_cx, u_cy, cmd_speed, h_x, h_y,
+                     height: float):
+    """``solvers.rollout.walking_stage_cost`` in lane layout: sens is
+    (33, *lane), ctrl/prev (12, *lane); the command enters as scalars
+    (unit local-velocity xy, its norm, heading xy). Validated against the
+    per-sample cost in tests/test_pallas_engine.py."""
+    from ..tasks.rewards import JOINT_CENTERS
+
+    dt = sens.dtype
+    vx, vy = sens[sl.vel], sens[sl.vel + 1]
+    n2 = vx * vx + vy * vy
+    nonzero = n2 > 0.0
+    vnorm = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
+    inv = 1.0 / jnp.maximum(vnorm, 1e-30)
+    prog_dir = (vx * inv) * u_cx + (vy * inv) * u_cy
+    speed_cost = jnp.square(vnorm - cmd_speed)
+    heading = sens[sl.xaxis] * h_x + sens[sl.xaxis + 1] * h_y
+    orient = sens[sl.zaxis + 2]
+    height_cost = jnp.abs(sens[sl.pos + 2] - height)
+    nu = ctrl.shape[0]
+    posture2 = 0.0
+    dctrl = 0.0
+    for u in range(nu):
+        d = (ctrl[u] - float(JOINT_CENTERS[u])) / nu
+        posture2 = posture2 + d * d
+        e = ctrl[u] - prev[u]
+        dctrl = dctrl + e * e
+    reward = (
+        10.0
+        + 10.0 * prog_dir
+        - 50.0 * speed_cost
+        + 10.0 * (jnp.exp(heading) - 1.0)
+        + 10.0 * (jnp.exp(orient) - 1.0)
+        - 50.0 * (jnp.exp(height_cost) - 1.0)
+        - jnp.sqrt(posture2)
+        - 2.0 * dctrl
+        - jnp.where(orient < 0.0, jnp.asarray(200.0, dt), jnp.asarray(0.0, dt))
+    )
+    return -reward
+
+
+def _rollout_kernel(m, sl, horizon, frame_skip, solver_iterations,
+                    ls_iterations, height,
+                    qp_ref, qv_ref, act_ref, seq_ref, prev_ref, cmd_ref,
+                    cost_ref):
+    lane_shape = qp_ref.shape[1:]
+    dt = qp_ref.dtype
+    u_cx, u_cy, cmd_speed = cmd_ref[0], cmd_ref[1], cmd_ref[2]
+    h_x, h_y = cmd_ref[3], cmd_ref[4]
+
+    def sub_body(_, c):
+        qp, qv, act, sens, ctrl = c
+        ls = LaneState(qpos=qp, qvel=qv, act=act,
+                       time=jnp.zeros(lane_shape, dt), sensordata=sens)
+        out = leg_engine._step_impl(
+            m, ls, ctrl, solver_iterations, ls_iterations,
+            compute_sensors=True, collide_fn=leg_engine._collide_loop,
+            const_full=True,
+        )
+        return (out.qpos, out.qvel, out.act, out.sensordata, ctrl)
+
+    def h_body(h, carry):
+        qp, qv, act, prev, cost = carry
+        ctrl = seq_ref[h]  # (nu, *lane)
+        sens0 = jnp.zeros((m.nsensordata,) + lane_shape, dt)
+        qp, qv, act, sens, _ = jax.lax.fori_loop(
+            0, frame_skip, sub_body, (qp, qv, act, sens0, ctrl)
+        )
+        c = _lane_stage_cost(sl, sens, ctrl, prev, u_cx, u_cy, cmd_speed,
+                             h_x, h_y, height)
+        return (qp, qv, act, ctrl, cost + c)
+
+    carry0 = (
+        qp_ref[...], qv_ref[...], act_ref[...], prev_ref[...],
+        jnp.zeros(lane_shape, dt),
+    )
+    _, _, _, _, cost = jax.lax.fori_loop(0, horizon, h_body, carry0)
+    cost_ref[...] = cost
+
+
+def fused_rollout_cost(
+    m: PhysicsModel,
+    state0,  # engine.State (unbatched)
+    ctrl_seqs: jnp.ndarray,  # (S, H, nu)
+    cmd,  # tasks.commands.Command
+    prev_ctrl0: jnp.ndarray,  # (nu,)
+    frame_skip: int,
+    solver_iterations: int = 4,
+    ls_iterations: int = 8,
+    height: float = 0.13,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S,) total walking-stage costs of H-step rollouts from ``state0``,
+    one kernel launch per batch tile. The stage cost is hard-wired to the
+    walking task (``_lane_stage_cost`` == ``rollout.walking_stage_cost``);
+    use the per-control-step engines for custom costs."""
+    from ..tasks.rewards import SensorSlices
+
+    S, H, nu = ctrl_seqs.shape
+    dt = ctrl_seqs.dtype
+    block = min(block, S)
+    assert S % block == 0 and block % _SUB == 0
+    W = block // _SUB
+    sl = SensorSlices.from_model(m)
+
+    def bcast_fold(x, d):  # (d,) -> (d, 8, S/8)
+        return jnp.broadcast_to(
+            x.astype(dt)[:, None, None], (d, _SUB, S // _SUB)
+        )
+
+    seqs = jnp.transpose(ctrl_seqs, (1, 2, 0)).reshape(
+        H, nu, _SUB, S // _SUB
+    )
+
+    v2 = cmd.velocity[:2]
+    n2 = jnp.sum(v2 * v2)
+    nonzero = n2 > 0.0
+    n = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
+    u = v2 / jnp.maximum(n, 1e-30)
+    cmd_scal = jnp.stack(
+        [u[0], u[1], n, cmd.heading[0], cmd.heading[1]]
+    ).astype(dt)
+
+    kern = functools.partial(
+        _rollout_kernel, m, sl, H, frame_skip, solver_iterations,
+        ls_iterations, height,
+    )
+
+    def bs(d):
+        return pl.BlockSpec((d, _SUB, W), lambda i: (0, 0, i))
+
+    cost = pl.pallas_call(
+        kern,
+        grid=(S // block,),
+        in_specs=[
+            bs(m.nq), bs(m.nv), bs(m.na),
+            pl.BlockSpec((H, nu, _SUB, W), lambda i: (0, 0, 0, i)),
+            bs(nu),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_SUB, W), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((_SUB, S // _SUB), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        bcast_fold(state0.qpos, m.nq),
+        bcast_fold(state0.qvel, m.nv),
+        bcast_fold(state0.act, m.na),
+        seqs,
+        bcast_fold(prev_ctrl0, nu),
+        cmd_scal,
+    )
+    return cost.reshape(S)

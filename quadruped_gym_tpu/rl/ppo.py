@@ -44,6 +44,9 @@ class PPOConfig:
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (256, 256, 128)
+    # route env physics through the batch-minor lane/leg engine
+    # (walking.batched_step) — the training-throughput path
+    lane_physics: bool = False
 
     @property
     def batch_size(self) -> int:
@@ -118,9 +121,14 @@ def _rollout(m, env_cfg, cfg: PPOConfig, params, env_state, obs, key):
         action, logp = networks.sample_action(params, obs, k_act)
         val = networks.value(params, obs)
         action_c = jnp.clip(action, -1.0, 1.0)
-        out = jax.vmap(
-            lambda st, a: vector_env.autoreset_step(m, env_cfg, st, a)
-        )(env_state, action_c)
+        if cfg.lane_physics:
+            out = vector_env.batched_autoreset_step(
+                m, env_cfg, env_state, action_c
+            )
+        else:
+            out = jax.vmap(
+                lambda st, a: vector_env.autoreset_step(m, env_cfg, st, a)
+            )(env_state, action_c)
         tr = _Transition(
             obs=obs,
             action=action,

@@ -34,6 +34,7 @@ class CEMConfig:
     # lane=True scores rollouts through the batch-minor lane engine
     lane: bool = False
     lane_newton_iterations: int = 4
+    lane_engine_impl: str = "leg"
     lane_ls_iterations: int = 8
 
 
@@ -69,6 +70,7 @@ def plan(
             costs = rollout_mod.lane_batched_rollout_cost(
                 m, cfg.rollout, cost_fn, state, seqs, cmd, prev_ctrl,
                 newton_iterations=cfg.lane_newton_iterations,
+                engine_impl=cfg.lane_engine_impl,
                 ls_iterations=cfg.lane_ls_iterations,
             )
         else:

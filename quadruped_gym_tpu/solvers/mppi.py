@@ -37,6 +37,10 @@ class MPPIConfig:
     lane: bool = False
     lane_newton_iterations: int = 4
     lane_ls_iterations: int = 8
+    # which batch-minor engine: "lane" | "leg" | "pallas" | "fused"
+    # (see rollout.lane_batched_rollout_cost; "fused" is the TPU
+    # speed-of-light whole-rollout kernel)
+    lane_engine_impl: str = "leg"
 
 
 def _rollout_costs(m, cfg: "MPPIConfig", cost_fn, state, seqs, cmd, prev):
@@ -45,6 +49,7 @@ def _rollout_costs(m, cfg: "MPPIConfig", cost_fn, state, seqs, cmd, prev):
             m, cfg.rollout, cost_fn, state, seqs, cmd, prev,
             newton_iterations=cfg.lane_newton_iterations,
             ls_iterations=cfg.lane_ls_iterations,
+            engine_impl=cfg.lane_engine_impl,
         )
     return rollout_mod.batched_rollout_cost(
         m, cfg.rollout, cost_fn, state, seqs, cmd, prev

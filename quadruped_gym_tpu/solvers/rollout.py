@@ -131,18 +131,28 @@ def lane_batched_rollout_cost(
     ignored because every collision slot is a masked constraint row. Pair
     with ``spec.get_planning_model()`` for the fastest configuration.
 
-    ``engine_impl`` selects the batch-minor engine: ``"pallas"`` (TPU
-    only) fuses the whole substep into one Mosaic kernel — the fastest
-    path, ~7x over XLA (HBM-bound) — ``"leg"`` (default) folds the four
-    identical legs into a (4, B) lane dim, and ``"lane"`` unrolls them
-    (tests/test_leg_engine.py, tests/test_pallas_engine.py validate
-    agreement)."""
+    ``engine_impl`` selects the batch-minor engine: ``"fused"`` (TPU
+    only) runs the ENTIRE rollout — all H x frame_skip substeps plus the
+    walking stage costs — in one Mosaic kernel launch per batch tile
+    (``cost_fn`` is ignored there: the kernel hard-wires
+    ``walking_stage_cost``); ``"pallas"`` fuses one substep per kernel;
+    ``"leg"`` (default) is the XLA leg-batched engine; ``"lane"``
+    unrolls the legs (tests/test_leg_engine.py,
+    tests/test_pallas_engine.py validate agreement)."""
     from ..ops import lane_engine
     from ..ops import leg_engine as _leg_engine
 
+    if engine_impl == "fused" and _leg_engine.is_compatible(m):
+        from ..ops import pallas_engine
+
+        return pallas_engine.fused_rollout_cost(
+            m, state0, ctrl_seqs, cmd, prev_ctrl0, cfg.frame_skip,
+            solver_iterations=newton_iterations,
+            ls_iterations=ls_iterations,
+        )
     if engine_impl == "pallas" and _leg_engine.is_compatible(m):
         from ..ops import pallas_engine as eng
-    elif engine_impl in ("leg", "pallas") and _leg_engine.is_compatible(m):
+    elif engine_impl in ("leg", "pallas", "fused") and _leg_engine.is_compatible(m):
         eng = _leg_engine
     else:
         eng = lane_engine

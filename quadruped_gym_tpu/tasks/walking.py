@@ -214,3 +214,114 @@ def step(
         terminated=terminated,
         reward_components=out.components,
     )
+
+
+def batched_step(
+    m: PhysicsModel,
+    cfg: WalkingConfig,
+    state: WalkingState,  # batched pytree, leading axis B
+    action: jnp.ndarray,  # (B, nu)
+    engine_impl: str = "auto",
+    newton_iterations: int = 4,
+    ls_iterations: int = 8,
+) -> StepOutput:
+    """``vmap(step)`` semantics with physics through the batch-minor engine.
+
+    The per-env (AoS) engine is the oracle-parity path but the batch-minor
+    lane/leg engines are ~5-20x faster per substep at training batch sizes
+    (tests/test_lane_engine.py, tests/test_leg_engine.py). The task-layer
+    math is negligible next to physics, so it simply stays vmapped; only
+    step 4 (the frame-skipped substeps) changes layout. ``engine_impl``:
+    "auto" picks the leg-batched engine when the model supports it (feet-
+    only collision) else the lane engine. The Newton budget is fixed
+    (``newton_iterations``/``ls_iterations``) instead of
+    ``cfg.solver_iterations``."""
+    from ..ops import lane_engine, leg_engine
+    from ..physics.smooth import clip_ctrl
+
+    dt = cfg.dtype
+    sl = rewards.SensorSlices.from_model(m)
+    cdt = cfg.control_dt(m)
+    B = action.shape[0]
+
+    # 1. ideal-position integration
+    ideal = state.ideal_position + state.cmd.global_velocity * cdt  # (B, 3)
+
+    # 2. estimator update on the PREVIOUS applied ctrl
+    est, f_est, a_est = jax.vmap(
+        lambda s, x: estimator.update(s, x, cdt, cfg.ema_alpha)
+    )(state.est, state.applied_ctrl)
+
+    # 3. settling mask
+    centers = jnp.asarray(rewards.JOINT_CENTERS, dtype=dt)
+    action = jnp.where(
+        (state.phys.time < cfg.settling_time)[:, None], centers[None], action
+    )
+
+    # 4. clip + physics substeps through the batch-minor engine
+    ctrl = clip_ctrl(m, action.astype(dt))
+    if engine_impl == "leg" or (
+        engine_impl == "auto" and leg_engine.is_compatible(m)
+    ):
+        eng = leg_engine
+    else:
+        eng = lane_engine
+    ls = lane_engine.from_batched(
+        state.phys.qpos, state.phys.qvel, state.phys.act,
+        state.phys.time, state.phys.sensordata,
+    )
+    ls = eng.control_step(
+        m, ls, ctrl.T, cfg.frame_skip,
+        solver_iterations=newton_iterations, ls_iterations=ls_iterations,
+    )
+    qpos, qvel, act, time, sens = lane_engine.to_batched(ls)
+    phys = engine.State(qpos=qpos, qvel=qvel, act=act, time=time,
+                        sensordata=sens)
+
+    # 5. reward on post-step sensordata
+    out = jax.vmap(
+        lambda s, c, cm, i, f, a, r: rewards.input_control_reward(
+            s, c, cm, i, f, a, r, sl, cdt
+        )
+    )(phys.sensordata, ctrl, state.cmd, ideal, f_est, a_est, state.rew)
+
+    # 6. termination
+    terminated = jax.vmap(
+        lambda s: rewards.flip_termination(s, sl)
+    )(phys.sensordata) | rewards.time_termination(phys.time, cfg.max_time)
+
+    # 7. observation
+    if cfg.partial_obs:
+        def po_one(s, c, cm, mq, t, buf):
+            frame, mad_q = observations.po_observation(
+                sl, s, c, cm, mq, t, cfg.settling_time, cdt
+            )
+            buffer = observations.stack_push(buf, frame)
+            return observations.PoObsCarry(mad_quat=mad_q, buffer=buffer)
+
+        obs_carry = jax.vmap(po_one)(
+            phys.sensordata, ctrl, state.cmd, state.obs.mad_quat,
+            phys.time, state.obs.buffer,
+        )
+        obs = obs_carry.buffer.reshape(B, -1)
+    else:
+        obs_carry = state.obs
+        obs = phys.sensordata
+
+    new_state = WalkingState(
+        phys=phys,
+        cmd=state.cmd,
+        ideal_position=ideal,
+        est=est,
+        rew=out.carry,
+        obs=obs_carry,
+        applied_ctrl=ctrl,
+        key=state.key,
+    )
+    return StepOutput(
+        state=new_state,
+        obs=obs,
+        reward=out.total,
+        terminated=terminated,
+        reward_components=out.components,
+    )

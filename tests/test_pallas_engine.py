@@ -61,6 +61,46 @@ def test_pallas_step_matches_leg_engine(m, airborne):
                                rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("grounded", [True, False])
+def test_fused_rollout_cost_matches_leg_path(m, grounded):
+    """The whole-rollout kernel (substeps + hard-wired walking stage cost)
+    vs the scan-of-control-steps leg-engine path with the same cost fn.
+
+    Grounded covers the contact path but only over ONE control step —
+    through-contact fp chaos makes bit-different-but-equivalent programs
+    diverge over longer grounded horizons (see tests/test_lane_engine.py).
+    The airborne multi-step case covers the fused kernel's per-step
+    control indexing, prev-ctrl chaining and cost accumulation."""
+    from quadruped_gym_tpu.solvers import rollout
+    from quadruped_gym_tpu.tasks import commands
+
+    B = 16
+    H = 1 if grounded else 3
+    cfg = rollout.RolloutConfig(horizon=H, frame_skip=2)
+    cost_fn = rollout.make_cost_fn(m)
+    state = engine.make_state(m, dtype=jnp.float64)
+    if not grounded:
+        state = state._replace(qpos=state.qpos.at[2].add(0.5))
+    cmd = commands.make(jnp.array([0.2, 0.1]), jnp.array(0.3))
+    prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float64)
+    seqs = jnp.clip(
+        prev[None, None]
+        + 0.2 * jax.random.normal(jax.random.PRNGKey(7), (B, H, m.nu),
+                                  jnp.float64),
+        -1.0, 1.0,
+    )
+    ref = rollout.lane_batched_rollout_cost(
+        m, cfg, cost_fn, state, seqs, cmd, prev,
+        newton_iterations=4, ls_iterations=8, engine_impl="leg",
+    )
+    fused = pallas_engine.fused_rollout_cost(
+        m, state, seqs, cmd, prev, cfg.frame_skip,
+        solver_iterations=4, ls_iterations=8, block=B, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_pallas_control_step_matches_leg_engine(m):
     B = 16
     ls = _states(m, B, jax.random.PRNGKey(4))

@@ -1,0 +1,148 @@
+"""SQP solver tests: condensation algebra, box-QP KKT, sharded reduction
+over a virtual device mesh (the ICI all-reduce of BASELINE config 4), and
+cost descent on the real contact dynamics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_gym_tpu.models import spec
+from quadruped_gym_tpu.physics import engine
+from quadruped_gym_tpu.solvers import rollout, sqp
+from quadruped_gym_tpu.tasks import commands
+
+
+@pytest.fixture(scope="module")
+def m():
+    return spec.get_model(collision_geom_prefixes=spec.MPC_COLLISION_PREFIXES)
+
+
+def test_sensitivities_match_bruteforce():
+    H, nx, nu = 5, 3, 2
+    key = jax.random.PRNGKey(0)
+    kA, kB = jax.random.split(key)
+    A = 0.3 * jax.random.normal(kA, (H, nx, nx), jnp.float64)
+    B = jax.random.normal(kB, (H, nx, nu), jnp.float64)
+    F = np.asarray(sqp.sensitivities(A, B))  # (H, nx, H*nu)
+
+    # brute force: dx_{t+1}/du_s = A_t ... A_{s+1} B_s  (s <= t)
+    for t in range(H):
+        for s in range(H):
+            blk = F[t][:, s * nu : (s + 1) * nu]
+            if s > t:
+                np.testing.assert_allclose(blk, 0.0, atol=1e-14)
+            else:
+                M = np.asarray(B[s])
+                for r in range(s + 1, t + 1):
+                    M = np.asarray(A[r]) @ M
+                np.testing.assert_allclose(blk, M, rtol=1e-12, atol=1e-12)
+
+
+def test_admm_box_qp_kkt():
+    n = 24
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    R = jax.random.normal(k1, (n, n), jnp.float64)
+    Hqp = R @ R.T + 0.5 * jnp.eye(n, dtype=jnp.float64)
+    g = 3.0 * jax.random.normal(k2, (n,), jnp.float64)
+    lo = -0.4 * jnp.ones(n, jnp.float64)
+    hi = 0.4 * jnp.ones(n, jnp.float64)
+    x = sqp.admm_box_qp(Hqp, g, lo, hi, iterations=400)
+    x = np.asarray(x)
+    grad = np.asarray(Hqp) @ x + np.asarray(g)
+    tol = 1e-5
+    interior = (x > np.asarray(lo) + 1e-9) & (x < np.asarray(hi) - 1e-9)
+    assert np.abs(grad[interior]).max() < tol
+    at_lo = x <= np.asarray(lo) + 1e-9
+    at_hi = x >= np.asarray(hi) - 1e-9
+    assert (grad[at_lo] >= -tol).all()  # pushing below lo -> clamped
+    assert (grad[at_hi] <= tol).all()
+    assert (x >= np.asarray(lo) - 1e-12).all()
+    assert (x <= np.asarray(hi) + 1e-12).all()
+
+
+def test_condense_sharded_matches_single(cpu_devices):
+    from quadruped_gym_tpu import parallel
+
+    H, nx, nu = 12, 6, 3
+    key = jax.random.PRNGKey(2)
+    kF, kx, kxx = jax.random.split(key, 3)
+    F = jax.random.normal(kF, (H, nx, H * nu), jnp.float64)
+    lx = jax.random.normal(kx, (H, nx), jnp.float64)
+    R = jax.random.normal(kxx, (H, nx, nx), jnp.float64)
+    lxx = jnp.einsum("hij,hkj->hik", R, R)
+
+    H1, g1 = sqp.condense(F, lx, lxx, axis_name=None)
+
+    mesh = parallel.make_mesh(
+        cpu_devices[:4], axis_names=("horizon",), shape=(4,)
+    )
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda f, a, b: sqp.condense(f, a, b, axis_name="horizon"),
+        mesh=mesh,
+        in_specs=(P("horizon"), P("horizon"), P("horizon")),
+        out_specs=(P(), P()),
+    )
+    H2, g2 = fn(F, lx, lxx)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1),
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_sqp_reduces_cost(m):
+    cfg = sqp.SQPConfig(
+        iterations=2,
+        rollout=rollout.RolloutConfig(horizon=4, frame_skip=1,
+                                      max_contacts=8, solver_iterations=2),
+        alphas=(1.0, 0.3, 0.1, 0.03),
+    )
+    cost_fn = rollout.make_cost_fn(m)
+    state0 = engine.make_state(m, dtype=jnp.float64)
+    cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
+    prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float64)
+    us0 = jnp.tile(jnp.asarray(np.array([0.4, -0.4, 0.3] * 4)), (4, 1))
+
+    res = jax.jit(
+        lambda s, u: sqp.solve(m, cfg, cost_fn, s, u, cmd, prev)
+    )(state0, us0)
+    assert np.isfinite(float(res.cost))
+    assert float(res.cost) <= float(res.initial_cost) + 1e-9
+    assert float(res.cost) < float(res.initial_cost) - 1.0, (
+        f"no meaningful descent: {float(res.initial_cost)} -> {float(res.cost)}"
+    )
+    lo = np.asarray(m.actuator_ctrlrange[:, 0])
+    hi = np.asarray(m.actuator_ctrlrange[:, 1])
+    u = np.asarray(res.ctrl_seq)
+    assert (u >= lo - 1e-9).all() and (u <= hi + 1e-9).all()
+
+
+def test_sqp_sharded_condensation_runs(m, cpu_devices):
+    """End-to-end SQP with the horizon reduction sharded over 4 virtual
+    devices — the multi-chip condensation path compiles and descends."""
+    from quadruped_gym_tpu import parallel
+
+    mesh = parallel.make_mesh(
+        cpu_devices[:4], axis_names=("horizon",), shape=(4,)
+    )
+    cfg = sqp.SQPConfig(
+        iterations=1,
+        rollout=rollout.RolloutConfig(horizon=4, frame_skip=1,
+                                      max_contacts=8, solver_iterations=2),
+        alphas=(1.0, 0.3, 0.1),
+    )
+    cost_fn = rollout.make_cost_fn(m)
+    state0 = engine.make_state(m, dtype=jnp.float64)
+    cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
+    prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float64)
+    us0 = jnp.tile(jnp.asarray(np.array([0.4, -0.4, 0.3] * 4)), (4, 1))
+
+    res = jax.jit(
+        lambda s, u: sqp.solve(m, cfg, cost_fn, s, u, cmd, prev, mesh=mesh)
+    )(state0, us0)
+    assert np.isfinite(float(res.cost))
+    assert float(res.cost) <= float(res.initial_cost) + 1e-9
