@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import typing
 from typing import Optional, Tuple
 
 import numpy as np
@@ -427,6 +428,60 @@ def decimate_hulls(m: PhysicsModel, n_directions: int = 128) -> PhysicsModel:
         keep = np.unique(np.argmax(dirs @ v.T, axis=1))
         new_hulls.append(v[keep])
     return dataclasses.replace(m, col_hull_verts=tuple(new_hulls))
+
+
+class DomainParams(typing.NamedTuple):
+    """Per-sample physics overrides for domain randomization.
+
+    ``PhysicsModel`` is a static closure constant; these are the
+    *traced* per-scenario quantities (BASELINE configs 3/5: randomized
+    friction / payload / gains at 4k-65k scenario scale). Each field is
+    either None (nominal model value) or a lane array broadcastable
+    against the batch-minor engines' lanes ((B,) for ``ops.leg_engine``;
+    folded automatically by ``ops.pallas_engine``):
+
+      * ``friction``: tangential friction coefficient of the foot-ground
+        contacts (replaces ``col_friction[:, 0]``; the constraint
+        impedance reference weights stay nominal, as MuJoCo computes
+        them at compile time).
+      * ``gain_scale``: scales the position-servo stiffness kp (both the
+        gain and its bias coupling; the damping kv stays nominal).
+      * ``base_mass_scale``: payload model — scales the free base body's
+        mass and rotational inertia together (uniform density).
+
+    Supported by ``ops.leg_engine`` / ``ops.pallas_engine`` and threaded
+    through ``solvers.rollout.lane_batched_rollout_cost(dp=...)``.
+    """
+
+    friction: typing.Any = None
+    gain_scale: typing.Any = None
+    base_mass_scale: typing.Any = None
+
+
+def sample_domain_params(
+    key,
+    batch: int,
+    friction_range: Optional[Tuple[float, float]] = (0.4, 0.8),
+    gain_range: Optional[Tuple[float, float]] = (0.8, 1.2),
+    mass_range: Optional[Tuple[float, float]] = (0.9, 1.5),
+):
+    """Uniformly sampled ``DomainParams`` lanes for ``batch`` scenarios.
+
+    Pass None for a range to keep that quantity nominal."""
+    import jax
+
+    ks = jax.random.split(key, 3)
+
+    def u(k, rng):
+        if rng is None:
+            return None
+        return jax.random.uniform(k, (batch,), minval=rng[0], maxval=rng[1])
+
+    return DomainParams(
+        friction=u(ks[0], friction_range),
+        gain_scale=u(ks[1], gain_range),
+        base_mass_scale=u(ks[2], mass_range),
+    )
 
 
 def get_planning_model(n_directions: int = 128) -> PhysicsModel:

@@ -273,7 +273,7 @@ def _body_velocities(m, S_free, S_leg, qv_free, qv_leg):
     return v_base, tuple(v_leg)
 
 
-def _inertias(m: PhysicsModel, kin: _Kin):
+def _inertias(m: PhysicsModel, kin: _Kin, mass_scale=None):
     ls = _leg_static(m)
     b = ls.base
     xi_base = L.v3_add(kin.base_pos, L.mat_vec(kin.base_mat, _v3c(m.body_ipos[b])))
@@ -281,8 +281,15 @@ def _inertias(m: PhysicsModel, kin: _Kin):
         kin.base_mat,
         tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.body_iquat[b])),
     )
+    base_mass = _f(m.body_mass[b])
+    base_inertia = _v3c(m.body_inertia[b])
+    if mass_scale is not None:
+        # payload randomization: scale base mass + rotational inertia
+        # together (uniform density; DomainParams.base_mass_scale)
+        base_mass = L.mul(mass_scale, base_mass)
+        base_inertia = tuple(L.mul(mass_scale, v) for v in base_inertia)
     I_base = L.spatial_inertia_world(
-        _f(m.body_mass[b]), _v3c(m.body_inertia[b]), imat_b,
+        base_mass, base_inertia, imat_b,
         L.v3_sub(xi_base, kin.origin),
     )
     I_leg = []
@@ -391,7 +398,7 @@ def _rne_bias(m, kin, S_free, S_leg, v_base, v_leg, qv_free, qv_leg,
     return bias_free, bias_leg
 
 
-def _actuation(m: PhysicsModel, q_leg, qv_leg, act_leg):
+def _actuation(m: PhysicsModel, q_leg, qv_leg, act_leg, gain_scale=None):
     """All actuators drive leg dofs; per level (4, B)."""
     ls = _leg_static(m)
     qfrc, dvel = [], []
@@ -402,10 +409,18 @@ def _actuation(m: PhysicsModel, q_leg, qv_leg, act_leg):
         )
         gear = _f(m.actuator_gear[u0])
         gp, bp = m.actuator_gainprm[u0], m.actuator_biasprm[u0]
+        # DomainParams.gain_scale scales the servo stiffness kp — both
+        # the gain (gp[0]) and its position-bias coupling (bp[1] = -kp);
+        # the velocity bias bp[2] = -kv stays nominal
+        kp_term = L.mul(_f(gp[0]), act_leg[k])
+        bias_q = L.mul(_f(bp[1]) * gear, q_leg[k])
+        if gain_scale is not None:
+            kp_term = L.mul(gain_scale, kp_term)
+            bias_q = L.mul(gain_scale, bias_q)
         force = L.add(
-            L.mul(_f(gp[0]), act_leg[k]),
+            kp_term,
             L.add(_f(bp[0]),
-                  L.add(L.mul(_f(bp[1]) * gear, q_leg[k]),
+                  L.add(bias_q,
                         L.mul(_f(bp[2]) * gear, qv_leg[k]))),
         )
         lo, hi = _f(m.actuator_forcerange[u0][0]), _f(m.actuator_forcerange[u0][1])
@@ -690,7 +705,7 @@ class _Rows(NamedTuple):
 
 
 def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
-               qv_leg, slots):
+               qv_leg, slots, friction=None):
     ls = _leg_static(m)
     st = _static(m)
     n, t1, t2 = st.plane_frame
@@ -721,7 +736,10 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
     # ---- contact slots ----
     g0 = ls.foot_geoms[0]
     foot_b0 = ls.leg_bodies[NLEV - 1][0]
-    mu = _f(m.col_friction[g0][0])
+    # DomainParams.friction: per-sample tangential coefficient (the
+    # impedance weights below keep the nominal compile-time invweights,
+    # matching MuJoCo's compile-time solref/solimp referencing)
+    mu = _f(m.col_friction[g0][0]) if friction is None else friction
     slot_J = []
     for (pos, dist, active) in slots:
         rel = L.v3_sub(pos, kin.origin)  # (4, B) Vec3
@@ -1004,7 +1022,11 @@ def _rows(arr, idx):
 
 
 def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
-               compute_sensors=True, collide_fn=None, const_full=False):
+               compute_sensors=True, collide_fn=None, const_full=False,
+               dp=None):
+    if dp is None:
+        from ..models.spec import DomainParams
+        dp = DomainParams()
     st = _leg_static(m)
     h = m.timestep
     q_idx, v_idx, a_idx = _level_indices(m)
@@ -1027,12 +1049,13 @@ def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
     kin = _fk(m, q_free, q_leg, const_full=const_full)
     S_free, S_leg = _subspace(m, kin)
     v_base, v_leg = _body_velocities(m, S_free, S_leg, qv_free, qv_leg)
-    I_base, I_leg = _inertias(m, kin)
+    I_base, I_leg = _inertias(m, kin, mass_scale=dp.base_mass_scale)
     Mff, Mfl, Mll = _crba(m, S_free, S_leg, I_base, I_leg)
     bias_free, bias_leg = _rne_bias(
         m, kin, S_free, S_leg, v_base, v_leg, qv_free, qv_leg, I_base, I_leg
     )
-    qfrc_act, dvel_leg = _actuation(m, q_leg, qv_leg, act_leg)
+    qfrc_act, dvel_leg = _actuation(m, q_leg, qv_leg, act_leg,
+                                    gain_scale=dp.gain_scale)
     damp_leg = _f(m.dof_damping[6])
     qf_free = [
         L.sub(L.mul(-_f(m.dof_damping[i]), qv_free[i]), bias_free[i])
@@ -1048,7 +1071,8 @@ def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
 
     if solver_iterations > 0:
         slots = (collide_fn or _collide)(m, kin)
-        rows = _make_rows(m, kin, S_free, S_leg, q_leg, qv_free, qv_leg, slots)
+        rows = _make_rows(m, kin, S_free, S_leg, q_leg, qv_free, qv_leg,
+                          slots, friction=dp.friction)
         x_free, x_leg, _, _ = _newton_solve(
             m, Mff, Mfl, Mll, rows, qa_free, qa_leg,
             solver_iterations, ls_iterations,
@@ -1124,20 +1148,22 @@ def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
 
 
 def step(m: PhysicsModel, ls: LaneState, ctrl: jnp.ndarray,
-         solver_iterations: int = 4, ls_iterations: int = 8) -> LaneState:
-    """One physics step (mj_step semantics), leg-batched."""
-    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)
+         solver_iterations: int = 4, ls_iterations: int = 8,
+         dp=None) -> LaneState:
+    """One physics step (mj_step semantics), leg-batched. ``dp`` is an
+    optional ``models.spec.DomainParams`` of per-sample (B,) overrides."""
+    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations, dp=dp)
 
 
 def control_step(m: PhysicsModel, ls: LaneState, ctrl: jnp.ndarray,
                  frame_skip: int, solver_iterations: int = 4,
-                 ls_iterations: int = 8) -> LaneState:
+                 ls_iterations: int = 8, dp=None) -> LaneState:
     """frame_skip substeps under constant control (sensors on the last)."""
 
     def body(s, _):
         return _step_impl(m, s, ctrl, solver_iterations, ls_iterations,
-                          compute_sensors=False), None
+                          compute_sensors=False, dp=dp), None
 
     if frame_skip > 1:
         ls, _ = jax.lax.scan(body, ls, None, length=frame_skip - 1)
-    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations)
+    return _step_impl(m, ls, ctrl, solver_iterations, ls_iterations, dp=dp)

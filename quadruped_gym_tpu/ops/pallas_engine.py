@@ -43,9 +43,31 @@ DEFAULT_BLOCK = 1024
 _SUB = 8  # f32 sublane count: batch folds to (8, B/8)
 
 
-def _substep_kernel(m, solver_iterations, ls_iterations,
-                    qp_ref, qv_ref, act_ref, ctrl_ref,
-                    qp_out, qv_out, act_out, sens_out):
+def _dp_from_refs(dp_names, dp_refs):
+    from ..models.spec import DomainParams
+
+    return DomainParams(
+        **{n: r[...][0] for n, r in zip(dp_names, dp_refs)}
+    )
+
+
+def _dp_inputs(dp, bs, fold):
+    """(names, folded (1, 8, S/8) arrays, blockspecs) for the set fields."""
+    names, arrays, specs = [], [], []
+    if dp is not None:
+        for n in ("friction", "gain_scale", "base_mass_scale"):
+            v = getattr(dp, n)
+            if v is not None:
+                names.append(n)
+                arrays.append(fold(v[None]))
+                specs.append(bs(1))
+    return names, arrays, specs
+
+
+def _substep_kernel(m, solver_iterations, ls_iterations, dp_names, *refs):
+    (qp_ref, qv_ref, act_ref, ctrl_ref), rest = refs[:4], refs[4:]
+    dp_refs = rest[: len(dp_names)]
+    qp_out, qv_out, act_out, sens_out = rest[len(dp_names):]
     lane_shape = qp_ref.shape[1:]  # (8, W)
     dt = qp_ref.dtype
     ls = LaneState(
@@ -58,7 +80,7 @@ def _substep_kernel(m, solver_iterations, ls_iterations,
     out = leg_engine._step_impl(
         m, ls, ctrl_ref[...], solver_iterations, ls_iterations,
         compute_sensors=True, collide_fn=leg_engine._collide_loop,
-        const_full=True,
+        const_full=True, dp=_dp_from_refs(dp_names, dp_refs),
     )
     qp_out[...] = out.qpos
     qv_out[...] = out.qvel
@@ -74,28 +96,32 @@ def step(
     ls_iterations: int = 8,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    dp=None,
 ) -> LaneState:
-    """One physics step (mj_step semantics) as a single fused kernel."""
+    """One physics step (mj_step semantics) as a single fused kernel.
+    ``dp`` is an optional ``models.spec.DomainParams`` of (B,) lanes."""
     S = ls.qpos.shape[1]
     block = min(block, S)
     assert S % block == 0, f"batch {S} not divisible by block {block}"
     assert block % _SUB == 0, f"block {block} not divisible by {_SUB}"
     W = block // _SUB
     dt = ls.qpos.dtype
-    kern = functools.partial(
-        _substep_kernel, m, solver_iterations, ls_iterations
-    )
 
     def fold(x):  # (d, B) -> (d, 8, B/8); contiguous reshape (bitcast)
-        return x.reshape(x.shape[0], _SUB, -1)
+        return x.astype(dt).reshape(x.shape[0], _SUB, -1)
 
     def bs(d):
         return pl.BlockSpec((d, _SUB, W), lambda i: (0, 0, i))
 
+    dp_names, dp_arrays, dp_specs = _dp_inputs(dp, bs, fold)
+    kern = functools.partial(
+        _substep_kernel, m, solver_iterations, ls_iterations, tuple(dp_names)
+    )
+
     qpos, qvel, act, sens = pl.pallas_call(
         kern,
         grid=(S // block,),
-        in_specs=[bs(m.nq), bs(m.nv), bs(m.na), bs(m.nu)],
+        in_specs=[bs(m.nq), bs(m.nv), bs(m.na), bs(m.nu)] + dp_specs,
         out_specs=[bs(m.nq), bs(m.nv), bs(m.na), bs(m.nsensordata)],
         out_shape=[
             jax.ShapeDtypeStruct((m.nq, _SUB, S // _SUB), dt),
@@ -108,7 +134,7 @@ def step(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(fold(ls.qpos), fold(ls.qvel), fold(ls.act), fold(ctrl))
+    )(fold(ls.qpos), fold(ls.qvel), fold(ls.act), fold(ctrl), *dp_arrays)
     return LaneState(
         qpos=qpos.reshape(m.nq, S),
         qvel=qvel.reshape(m.nv, S),
@@ -127,12 +153,13 @@ def control_step(
     ls_iterations: int = 8,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    dp=None,
 ) -> LaneState:
     """frame_skip substeps under constant control (one shared kernel)."""
 
     def body(s, _):
         return step(m, s, ctrl, solver_iterations, ls_iterations,
-                    block=block, interpret=interpret), None
+                    block=block, interpret=interpret, dp=dp), None
 
     ls, _ = jax.lax.scan(body, ls, None, length=frame_skip)
     return ls
@@ -189,9 +216,13 @@ def _lane_stage_cost(sl, sens, ctrl, prev, u_cx, u_cy, cmd_speed, h_x, h_y,
 
 
 def _rollout_kernel(m, sl, horizon, frame_skip, solver_iterations,
-                    ls_iterations, height,
-                    qp_ref, qv_ref, act_ref, seq_ref, prev_ref, cmd_ref,
-                    cost_ref):
+                    ls_iterations, height, dp_names, *refs):
+    (qp_ref, qv_ref, act_ref, seq_ref, prev_ref, cmd_ref), rest = (
+        refs[:6], refs[6:]
+    )
+    dp_refs = rest[: len(dp_names)]
+    (cost_ref,) = rest[len(dp_names):]
+    dp = _dp_from_refs(dp_names, dp_refs)
     lane_shape = qp_ref.shape[1:]
     dt = qp_ref.dtype
     u_cx, u_cy, cmd_speed = cmd_ref[0], cmd_ref[1], cmd_ref[2]
@@ -204,7 +235,7 @@ def _rollout_kernel(m, sl, horizon, frame_skip, solver_iterations,
         out = leg_engine._step_impl(
             m, ls, ctrl, solver_iterations, ls_iterations,
             compute_sensors=True, collide_fn=leg_engine._collide_loop,
-            const_full=True,
+            const_full=True, dp=dp,
         )
         return (out.qpos, out.qvel, out.act, out.sensordata, ctrl)
 
@@ -239,11 +270,15 @@ def fused_rollout_cost(
     height: float = 0.13,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    dp=None,
 ) -> jnp.ndarray:
     """(S,) total walking-stage costs of H-step rollouts from ``state0``,
     one kernel launch per batch tile. The stage cost is hard-wired to the
     walking task (``_lane_stage_cost`` == ``rollout.walking_stage_cost``);
-    use the per-control-step engines for custom costs."""
+    use the per-control-step engines for custom costs. ``dp`` is an
+    optional ``models.spec.DomainParams`` of (S,) lanes — per-SCENARIO
+    randomized friction/gains/payload inside one fused launch (BASELINE
+    configs 3/5)."""
     from ..tasks.rewards import SensorSlices
 
     S, H, nu = ctrl_seqs.shape
@@ -258,6 +293,9 @@ def fused_rollout_cost(
             x.astype(dt)[:, None, None], (d, _SUB, S // _SUB)
         )
 
+    def fold(x):  # (d, S) -> (d, 8, S/8)
+        return x.astype(dt).reshape(x.shape[0], _SUB, -1)
+
     seqs = jnp.transpose(ctrl_seqs, (1, 2, 0)).reshape(
         H, nu, _SUB, S // _SUB
     )
@@ -271,13 +309,14 @@ def fused_rollout_cost(
         [u[0], u[1], n, cmd.heading[0], cmd.heading[1]]
     ).astype(dt)
 
-    kern = functools.partial(
-        _rollout_kernel, m, sl, H, frame_skip, solver_iterations,
-        ls_iterations, height,
-    )
-
     def bs(d):
         return pl.BlockSpec((d, _SUB, W), lambda i: (0, 0, i))
+
+    dp_names, dp_arrays, dp_specs = _dp_inputs(dp, bs, fold)
+    kern = functools.partial(
+        _rollout_kernel, m, sl, H, frame_skip, solver_iterations,
+        ls_iterations, height, tuple(dp_names),
+    )
 
     cost = pl.pallas_call(
         kern,
@@ -287,7 +326,7 @@ def fused_rollout_cost(
             pl.BlockSpec((H, nu, _SUB, W), lambda i: (0, 0, 0, i)),
             bs(nu),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + dp_specs,
         out_specs=pl.BlockSpec((_SUB, W), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((_SUB, S // _SUB), dt),
         compiler_params=pltpu.CompilerParams(
@@ -302,5 +341,6 @@ def fused_rollout_cost(
         seqs,
         bcast_fold(prev_ctrl0, nu),
         cmd_scal,
+        *dp_arrays,
     )
     return cost.reshape(S)

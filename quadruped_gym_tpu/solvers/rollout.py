@@ -121,6 +121,8 @@ def lane_batched_rollout_cost(
     newton_iterations: int = 4,
     ls_iterations: int = 8,
     engine_impl: str = "leg",
+    dp=None,  # models.spec.DomainParams of (S,) lanes: per-scenario
+    # randomized friction/gains/payload ("leg"/"pallas"/"fused" only)
 ) -> jnp.ndarray:
     """(S,) total costs through the lane-batched (batch-minor) engine.
 
@@ -148,7 +150,7 @@ def lane_batched_rollout_cost(
         return pallas_engine.fused_rollout_cost(
             m, state0, ctrl_seqs, cmd, prev_ctrl0, cfg.frame_skip,
             solver_iterations=newton_iterations,
-            ls_iterations=ls_iterations,
+            ls_iterations=ls_iterations, dp=dp,
         )
     if engine_impl == "pallas" and _leg_engine.is_compatible(m):
         from ..ops import pallas_engine as eng
@@ -156,6 +158,11 @@ def lane_batched_rollout_cost(
         eng = _leg_engine
     else:
         eng = lane_engine
+    if dp is not None and eng is lane_engine:
+        raise ValueError(
+            "DomainParams require the leg/pallas/fused engines "
+            "(feet-only collision model)"
+        )
 
     S, H, nu = ctrl_seqs.shape
     dt = ctrl_seqs.dtype
@@ -175,10 +182,11 @@ def lane_batched_rollout_cost(
 
     def body(carry, ctrl_t):
         st, prev = carry
+        kw = {} if dp is None else {"dp": dp}
         st = eng.control_step(
             m, st, ctrl_t, cfg.frame_skip,
             solver_iterations=newton_iterations,
-            ls_iterations=ls_iterations,
+            ls_iterations=ls_iterations, **kw,
         )
         c = cost_v(st.sensordata, ctrl_t, prev, cmd)
         return (st, ctrl_t), c
