@@ -448,6 +448,10 @@ class DomainParams(typing.NamedTuple):
         gain and its bias coupling; the damping kv stays nominal).
       * ``base_mass_scale``: payload model — scales the free base body's
         mass and rotational inertia together (uniform density).
+      * ``tilt_x`` / ``tilt_y``: terrain model — per-scenario ground
+        slope: the plane becomes z = tilt_x*x + tilt_y*y through the
+        nominal plane point (|tilt| < ~2; the contact tangent frame
+        follows the tilted normal).
 
     Supported by ``ops.leg_engine`` / ``ops.pallas_engine`` and threaded
     through ``solvers.rollout.lane_batched_rollout_cost(dp=...)``.
@@ -456,6 +460,8 @@ class DomainParams(typing.NamedTuple):
     friction: typing.Any = None
     gain_scale: typing.Any = None
     base_mass_scale: typing.Any = None
+    tilt_x: typing.Any = None
+    tilt_y: typing.Any = None
 
 
 def sample_domain_params(
@@ -464,13 +470,14 @@ def sample_domain_params(
     friction_range: Optional[Tuple[float, float]] = (0.4, 0.8),
     gain_range: Optional[Tuple[float, float]] = (0.8, 1.2),
     mass_range: Optional[Tuple[float, float]] = (0.9, 1.5),
+    tilt_range: Optional[Tuple[float, float]] = None,
 ):
     """Uniformly sampled ``DomainParams`` lanes for ``batch`` scenarios.
 
     Pass None for a range to keep that quantity nominal."""
     import jax
 
-    ks = jax.random.split(key, 3)
+    ks = jax.random.split(key, 5)
 
     def u(k, rng):
         if rng is None:
@@ -481,6 +488,8 @@ def sample_domain_params(
         friction=u(ks[0], friction_range),
         gain_scale=u(ks[1], gain_range),
         base_mass_scale=u(ks[2], mass_range),
+        tilt_x=u(ks[3], tilt_range),
+        tilt_y=u(ks[4], tilt_range),
     )
 
 

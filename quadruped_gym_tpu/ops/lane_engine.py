@@ -99,13 +99,12 @@ class _Static:
     plane_off: float
 
 
-_STATIC_CACHE: dict = {}
-
-
 def _static(m: PhysicsModel) -> _Static:
-    key = id(m)
-    if key in _STATIC_CACHE:
-        return _STATIC_CACHE[key]
+    # cached ON the model: an id()-keyed dict could serve stale topology
+    # to a new model reusing a garbage-collected model's address
+    cached = getattr(m, "_lane_static_cache", None)
+    if cached is not None:
+        return cached
     root = next(b for b in range(1, m.nbody) if m.body_parentid[b] == 0)
 
     dof_body = []
@@ -178,7 +177,7 @@ def _static(m: PhysicsModel) -> _Static:
         ),
         plane_off=float(np.dot(n, np.asarray(m.plane_pos))),
     )
-    _STATIC_CACHE[key] = s
+    object.__setattr__(m, "_lane_static_cache", s)
     return s
 
 

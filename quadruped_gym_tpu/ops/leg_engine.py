@@ -63,13 +63,14 @@ class _LegStatic:
     foot_geoms: Tuple[int, ...]  # collision geom index per leg
 
 
-_LEG_CACHE: dict = {}
-
-
 def _leg_static(m: PhysicsModel) -> _LegStatic:
-    key = id(m)
-    if key in _LEG_CACHE:
-        return _LEG_CACHE[key]
+    # cached ON the model (object.__setattr__ works on frozen dataclasses):
+    # an id()-keyed dict could return stale topology for a new model that
+    # reuses a garbage-collected model's address — and thereby skip the
+    # compatibility asserts below entirely
+    cached = getattr(m, "_leg_static_cache", None)
+    if cached is not None:
+        return cached
     base = next(b for b in range(1, m.nbody) if m.body_parentid[b] == 0)
     assert m.jnt_type[m.body_jntadr[base]] == JNT_FREE
     hips = [b for b in range(1, m.nbody) if m.body_parentid[b] == base]
@@ -107,6 +108,36 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
             assert m.jnt_dofadr[leg_joints[k][l]] == 6 + 3 * l + k
             assert m.jnt_qposadr[leg_joints[k][l]] == 7 + 3 * l + k
         assert all(m.jnt_limited[j] for j in leg_joints[k])
+    # shared-constant invariants the engine's leg-0-parameter broadcast
+    # relies on (it reads each quantity once per level, or once globally)
+    for k in range(NLEV):
+        q0s = [m.qpos0[m.jnt_qposadr[j]] for j in leg_joints[k]]
+        assert np.allclose(q0s, q0s[0]), "qpos0 differs across legs"
+        iw = [m.dof_invweight0[m.jnt_dofadr[j]] for j in leg_joints[k]]
+        assert np.allclose(iw, iw[0]), "dof_invweight0 differs across legs"
+    leg_dofs = [m.jnt_dofadr[leg_joints[k][l]]
+                for k in range(NLEV) for l in range(NLEG)]
+    for field in ("dof_armature", "dof_damping"):
+        vals = [np.asarray(getattr(m, field))[d] for d in leg_dofs]
+        assert np.allclose(vals, vals[0]), f"{field} differs across leg dofs"
+    # actuator layout: u = 3l+k drives leg l's level-k joint, and all
+    # actuators of a level share their parameters (dynprm globally: the
+    # activation filter uses one shared tau)
+    assert m.nu == NLEG * NLEV
+    for k in range(NLEV):
+        for l in range(NLEG):
+            assert m.actuator_trnid[3 * l + k] == leg_joints[k][l], (
+                "actuator order is not leg-major"
+            )
+        us = [3 * l + k for l in range(NLEG)]
+        for field in ("actuator_gainprm", "actuator_biasprm",
+                      "actuator_gear", "actuator_forcerange",
+                      "actuator_ctrlrange"):
+            vals = np.asarray(getattr(m, field))[us]
+            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+    dyn = np.asarray(m.actuator_dynprm)
+    assert np.allclose(dyn, dyn[0]), "actuator_dynprm differs across actuators"
+
     # collision: exactly one identical foot geom per leg, on the last level
     assert len(m.col_geom_bodyid) == NLEG, "leg engine needs the feet-only model"
     foot_geoms = []
@@ -125,7 +156,7 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
         leg_joints=leg_joints,
         foot_geoms=tuple(foot_geoms),
     )
-    _LEG_CACHE[key] = s
+    object.__setattr__(m, "_leg_static_cache", s)
     return s
 
 
@@ -521,11 +552,13 @@ def _sym_matvec(Mff, Mfl, Mll, x_free, x_leg):
 # collision + constraint rows (all leg-batched: slots are (4, B))
 
 
-def _collide(m: PhysicsModel, kin: _Kin):
+def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None):
     """Plane contacts for the four feet at once: 3 slots of (4, B)."""
     ls = _leg_static(m)
     st = _static(m)
-    n = st.plane_frame[0]
+    if plane_frame is None:
+        plane_frame, plane_off = st.plane_frame, st.plane_off
+    n = plane_frame[0]
     g0 = ls.foot_geoms[0]
     dt = kin.base_pos[0].dtype
 
@@ -547,7 +580,7 @@ def _collide(m: PhysicsModel, kin: _Kin):
     vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
 
     a = L.mat_tvec(gmat, n)
-    base = L.v3_dot(gpos, n) - st.plane_off
+    base = L.sub(L.v3_dot(gpos, n), plane_off)
     h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
 
     margin = _f(m.col_margin[g0])
@@ -598,14 +631,42 @@ def _collide(m: PhysicsModel, kin: _Kin):
     return slots
 
 
-def _collide_loop(m: PhysicsModel, kin: _Kin):
+def _plane(m: PhysicsModel, dp):
+    """((n, t1, t2), off): the ground-plane frame — static floats, or lane
+    values when ``DomainParams.tilt_x/tilt_y`` randomize the ground slope
+    per scenario (surface z = tilt_x*x + tilt_y*y through ``plane_pos``).
+    The tangent construction replicates ``lane_engine._static`` (ref = ex,
+    valid while |n_x| < 0.9, i.e. |tilt_x| < ~2), so a tilt override is
+    bit-compatible with rebuilding the model at that plane normal."""
+    st = _static(m)
+    if dp is None or (dp.tilt_x is None and dp.tilt_y is None):
+        return st.plane_frame, st.plane_off
+    tx = dp.tilt_x if dp.tilt_x is not None else 0.0
+    ty = dp.tilt_y if dp.tilt_y is not None else 0.0
+    inv = 1.0 / jnp.sqrt(tx * tx + ty * ty + 1.0)
+    n = (L.mul(-1.0, L.mul(tx, inv)), L.mul(-1.0, L.mul(ty, inv)), inv)
+    s = 1.0 / jnp.sqrt(n[1] * n[1] + n[2] * n[2])
+    t1 = (jnp.zeros_like(jnp.asarray(s)), n[2] * s, -n[1] * s)
+    t2 = L.v3_cross(n, t1)
+    pp = np.asarray(m.plane_pos, np.float64)
+    off = L.add(
+        L.add(L.mul(n[0], float(pp[0])), L.mul(n[1], float(pp[1]))),
+        L.mul(n[2], float(pp[2])),
+    )
+    return (n, t1, t2), off
+
+
+def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
+                  plane_off=None):
     """Same three contact slots as ``_collide`` but with the argmin/gather
     selections rewritten as unrolled select-loops over the hull vertices —
     no dynamic gathers, so it lowers inside Pallas/Mosaic kernels (and the
     decimated planning hulls keep V small)."""
     ls = _leg_static(m)
     st = _static(m)
-    n = st.plane_frame[0]
+    if plane_frame is None:
+        plane_frame, plane_off = st.plane_frame, st.plane_off
+    n = plane_frame[0]
     g0 = ls.foot_geoms[0]
 
     foot_mat = kin.leg_mat[NLEV - 1]
@@ -619,7 +680,7 @@ def _collide_loop(m: PhysicsModel, kin: _Kin):
     V = verts.shape[0]
 
     a = L.mat_tvec(gmat, n)
-    base = L.v3_dot(gpos, n) - st.plane_off
+    base = L.sub(L.v3_dot(gpos, n), plane_off)
     # per-vertex heights, as a python list of (4, B) lanes (no V axis)
     hs = [
         L.add(L.add(L.mul(float(verts[i, 0]), a[0]),
@@ -705,10 +766,12 @@ class _Rows(NamedTuple):
 
 
 def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
-               qv_leg, slots, friction=None):
+               qv_leg, slots, friction=None, plane_frame=None):
     ls = _leg_static(m)
     st = _static(m)
-    n, t1, t2 = st.plane_frame
+    if plane_frame is None:
+        plane_frame = st.plane_frame
+    n, t1, t2 = plane_frame
     aref_rows, D_rows = [], []
     lim_sign = []
 
@@ -1003,17 +1066,16 @@ def _sensors(m: PhysicsModel, kin: _Kin, v_base, cacc_base, q_free, q_leg):
 # the step
 
 
-_LEVEL_QIDX: dict = {}
+# the dof layout is asserted identical for every compatible model
+# (_leg_static: leg-major, consecutive), so the level indices are
+# module-level constants, not per-model state
+_Q_IDX = [[7 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
+_V_IDX = [[6 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
+_A_IDX = [[3 * l + k for l in range(NLEG)] for k in range(NLEV)]
 
 
 def _level_indices(m):
-    key = id(m)
-    if key not in _LEVEL_QIDX:
-        q_idx = [[7 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
-        v_idx = [[6 + 3 * l + k for l in range(NLEG)] for k in range(NLEV)]
-        a_idx = [[3 * l + k for l in range(NLEG)] for k in range(NLEV)]
-        _LEVEL_QIDX[key] = (q_idx, v_idx, a_idx)
-    return _LEVEL_QIDX[key]
+    return _Q_IDX, _V_IDX, _A_IDX
 
 
 def _rows(arr, idx):
@@ -1070,9 +1132,11 @@ def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
     qa_free, qa_leg = _ldl_solve(fac, qf_free, qf_leg)
 
     if solver_iterations > 0:
-        slots = (collide_fn or _collide)(m, kin)
+        plane_frame, plane_off = _plane(m, dp)
+        slots = (collide_fn or _collide)(m, kin, plane_frame, plane_off)
         rows = _make_rows(m, kin, S_free, S_leg, q_leg, qv_free, qv_leg,
-                          slots, friction=dp.friction)
+                          slots, friction=dp.friction,
+                          plane_frame=plane_frame)
         x_free, x_leg, _, _ = _newton_solve(
             m, Mff, Mfl, Mll, rows, qa_free, qa_leg,
             solver_iterations, ls_iterations,

@@ -55,7 +55,8 @@ def _dp_inputs(dp, bs, fold):
     """(names, folded (1, 8, S/8) arrays, blockspecs) for the set fields."""
     names, arrays, specs = [], [], []
     if dp is not None:
-        for n in ("friction", "gain_scale", "base_mass_scale"):
+        for n in ("friction", "gain_scale", "base_mass_scale",
+                  "tilt_x", "tilt_y"):
             v = getattr(dp, n)
             if v is not None:
                 names.append(n)
@@ -64,7 +65,8 @@ def _dp_inputs(dp, bs, fold):
     return names, arrays, specs
 
 
-def _substep_kernel(m, solver_iterations, ls_iterations, dp_names, *refs):
+def _substep_kernel(m, solver_iterations, ls_iterations, compute_sensors,
+                    dp_names, *refs):
     (qp_ref, qv_ref, act_ref, ctrl_ref), rest = refs[:4], refs[4:]
     dp_refs = rest[: len(dp_names)]
     qp_out, qv_out, act_out, sens_out = rest[len(dp_names):]
@@ -79,7 +81,8 @@ def _substep_kernel(m, solver_iterations, ls_iterations, dp_names, *refs):
     )
     out = leg_engine._step_impl(
         m, ls, ctrl_ref[...], solver_iterations, ls_iterations,
-        compute_sensors=True, collide_fn=leg_engine._collide_loop,
+        compute_sensors=compute_sensors,
+        collide_fn=leg_engine._collide_loop,
         const_full=True, dp=_dp_from_refs(dp_names, dp_refs),
     )
     qp_out[...] = out.qpos
@@ -97,9 +100,13 @@ def step(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     dp=None,
+    compute_sensors: bool = True,
 ) -> LaneState:
     """One physics step (mj_step semantics) as a single fused kernel.
-    ``dp`` is an optional ``models.spec.DomainParams`` of (B,) lanes."""
+    ``dp`` is an optional ``models.spec.DomainParams`` of (B,) lanes.
+    With ``compute_sensors=False`` the returned sensordata is zeros
+    (sensor + spatial-acceleration assembly skipped — the intermediate-
+    substep configuration, as in ``leg_engine.control_step``)."""
     S = ls.qpos.shape[1]
     block = min(block, S)
     assert S % block == 0, f"batch {S} not divisible by block {block}"
@@ -115,7 +122,8 @@ def step(
 
     dp_names, dp_arrays, dp_specs = _dp_inputs(dp, bs, fold)
     kern = functools.partial(
-        _substep_kernel, m, solver_iterations, ls_iterations, tuple(dp_names)
+        _substep_kernel, m, solver_iterations, ls_iterations,
+        compute_sensors, tuple(dp_names)
     )
 
     qpos, qvel, act, sens = pl.pallas_call(
@@ -155,14 +163,18 @@ def control_step(
     interpret: bool = False,
     dp=None,
 ) -> LaneState:
-    """frame_skip substeps under constant control (one shared kernel)."""
+    """frame_skip substeps under constant control (sensors on the last —
+    intermediate substeps use the cheaper sensor-free kernel variant)."""
 
     def body(s, _):
         return step(m, s, ctrl, solver_iterations, ls_iterations,
-                    block=block, interpret=interpret, dp=dp), None
+                    block=block, interpret=interpret, dp=dp,
+                    compute_sensors=False), None
 
-    ls, _ = jax.lax.scan(body, ls, None, length=frame_skip)
-    return ls
+    if frame_skip > 1:
+        ls, _ = jax.lax.scan(body, ls, None, length=frame_skip - 1)
+    return step(m, ls, ctrl, solver_iterations, ls_iterations,
+                block=block, interpret=interpret, dp=dp)
 
 
 # --------------------------------------------------------------------------
@@ -228,24 +240,33 @@ def _rollout_kernel(m, sl, horizon, frame_skip, solver_iterations,
     u_cx, u_cy, cmd_speed = cmd_ref[0], cmd_ref[1], cmd_ref[2]
     h_x, h_y = cmd_ref[3], cmd_ref[4]
 
-    def sub_body(_, c):
-        qp, qv, act, sens, ctrl = c
-        ls = LaneState(qpos=qp, qvel=qv, act=act,
-                       time=jnp.zeros(lane_shape, dt), sensordata=sens)
-        out = leg_engine._step_impl(
-            m, ls, ctrl, solver_iterations, ls_iterations,
-            compute_sensors=True, collide_fn=leg_engine._collide_loop,
-            const_full=True, dp=dp,
-        )
-        return (out.qpos, out.qvel, out.act, out.sensordata, ctrl)
+    def make_sub_body(compute_sensors):
+        def sub_body(_, c):
+            qp, qv, act, sens, ctrl = c
+            ls = LaneState(qpos=qp, qvel=qv, act=act,
+                           time=jnp.zeros(lane_shape, dt), sensordata=sens)
+            out = leg_engine._step_impl(
+                m, ls, ctrl, solver_iterations, ls_iterations,
+                compute_sensors=compute_sensors,
+                collide_fn=leg_engine._collide_loop,
+                const_full=True, dp=dp,
+            )
+            return (out.qpos, out.qvel, out.act, out.sensordata, ctrl)
+
+        return sub_body
 
     def h_body(h, carry):
         qp, qv, act, prev, cost = carry
         ctrl = seq_ref[h]  # (nu, *lane)
         sens0 = jnp.zeros((m.nsensordata,) + lane_shape, dt)
-        qp, qv, act, sens, _ = jax.lax.fori_loop(
-            0, frame_skip, sub_body, (qp, qv, act, sens0, ctrl)
-        )
+        c0 = (qp, qv, act, sens0, ctrl)
+        # sensors feed only the stage cost, read after the LAST substep;
+        # intermediate substeps skip the cacc + sensor assembly
+        if frame_skip > 1:
+            c0 = jax.lax.fori_loop(
+                0, frame_skip - 1, make_sub_body(False), c0
+            )
+        qp, qv, act, sens, _ = make_sub_body(True)(0, c0)
         c = _lane_stage_cost(sl, sens, ctrl, prev, u_cx, u_cy, cmd_speed,
                              h_x, h_y, height)
         return (qp, qv, act, ctrl, cost + c)

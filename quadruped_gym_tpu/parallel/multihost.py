@@ -39,21 +39,28 @@ def initialize(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     pid = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
-    try:
-        if addr and nproc is not None and pid is not None:
+    if addr and nproc is not None and pid is not None:
+        # explicitly configured: a failure here is a pod misconfiguration
+        # and must crash at startup, not silently degrade every host to an
+        # independent single-process run that overwrites shared checkpoints
+        try:
             jax.distributed.initialize(
                 coordinator_address=addr,
                 num_processes=int(nproc),
                 process_id=int(pid),
             )
-            return True
-        if os.environ.get("TPU_WORKER_HOSTNAMES"):  # cloud TPU pod slice
+        except RuntimeError as e:
+            if "already initialized" not in str(e).lower():
+                raise
+        return True
+    if os.environ.get("TPU_WORKER_HOSTNAMES"):  # cloud TPU pod slice
+        try:
             jax.distributed.initialize()
             return True
-    except (RuntimeError, ValueError):
-        # already initialized, or a single-process environment that merely
-        # looks pod-like (e.g. a tunneled single chip) — stay single-process
-        pass
+        except (RuntimeError, ValueError):
+            # already initialized, or a single-process environment that
+            # merely looks pod-like (e.g. a tunneled single chip)
+            pass
     return False
 
 

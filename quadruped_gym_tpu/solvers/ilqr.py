@@ -102,6 +102,63 @@ def smooth_sensordata(m: PhysicsModel, state: engine.State) -> jnp.ndarray:
     return sensors.evaluate(m, kin, cvel, cacc, state.qpos)
 
 
+def fd_linearize(m: PhysicsModel, step_fn, state0, states, us, eps):
+    """A (H, nx, nx), B (H, nx, nu): central finite differences of
+    ``step_fn`` around the incumbent trajectory, all H x 2 x (nx + nu)
+    perturbed steps batched in one vmap (shared by iLQR and SQP)."""
+    nx = tangent_dim(m)
+    _, nu = us.shape
+    dt = us.dtype
+    prev_states = jax.tree.map(
+        lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
+        state0, states,
+    )
+
+    def fd_one(st, u):
+        def fx(dx):
+            p = step_fn(state_add(m, st, dx), u)
+            q = step_fn(state_add(m, st, -dx), u)
+            return state_diff(m, p, q) / (2 * eps)
+
+        def fu(du):
+            p = step_fn(st, u + du)
+            q = step_fn(st, u - du)
+            return state_diff(m, p, q) / (2 * eps)
+
+        A = jax.vmap(fx)(eps * jnp.eye(nx, dtype=dt)).T  # (nx, nx)
+        B = jax.vmap(fu)(eps * jnp.eye(nu, dtype=dt)).T  # (nx, nu)
+        return A, B
+
+    return jax.vmap(fd_one)(prev_states, us)
+
+
+def quadratize_cost(m: PhysicsModel, cost_fn, cmd, states, us, prev_ctrl0):
+    """(lx, lxx, lu, luu) at each step via AD of the smooth stage cost.
+
+    The Δctrl coupling to prev_u is handled by treating u_{t-1} as fixed
+    (receding-horizon practice; exact for the quadratic Δu penalty's u_t
+    block, which is what stabilizes the solve)."""
+    nx = tangent_dim(m)
+    dt = us.dtype
+    prev_us = jnp.concatenate([prev_ctrl0[None], us[:-1]], axis=0)
+
+    def stage_cost_x(st, u, prev_u):
+        return cost_fn(smooth_sensordata(m, st), u, prev_u, cmd)
+
+    def one(st, u, prev_u):
+        def cx(dx):
+            return stage_cost_x(state_add(m, st, dx), u, prev_u)
+
+        z = jnp.zeros(nx, dt)
+        lx = jax.grad(cx)(z)
+        lxx = jax.hessian(cx)(z)
+        lu = jax.grad(lambda uu: stage_cost_x(st, uu, prev_u))(u)
+        luu = jax.hessian(lambda uu: stage_cost_x(st, uu, prev_u))(u)
+        return lx, lxx, lu, luu
+
+    return jax.vmap(one)(states, us, prev_us)
+
+
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
     iterations: int = 8
@@ -161,53 +218,16 @@ def solve(
         return states, jnp.sum(costs)
 
     def linearize(states, us):
-        """A (H, nx, nx), B (H, nx, nu) by central FD, all steps batched."""
-        prev_states = jax.tree.map(
-            lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
-            state0, states,
-        )
-        eps = cfg.fd_eps
-
-        def fd_one(st, u):
-            def fx(dx):
-                p = step_fn(state_add(m, st, dx), u)
-                q = step_fn(state_add(m, st, -dx), u)
-                return state_diff(m, p, q) / (2 * eps)
-
-            def fu(du):
-                p = step_fn(st, u + du)
-                q = step_fn(st, u - du)
-                return state_diff(m, p, q) / (2 * eps)
-
-            A = jax.vmap(fx)(eps * jnp.eye(nx, dtype=dt)).T  # (nx, nx)
-            B = jax.vmap(fu)(eps * jnp.eye(nu, dtype=dt)).T  # (nx, nu)
-            return A, B
-
-        return jax.vmap(fd_one)(prev_states, us)
+        return fd_linearize(m, step_fn, state0, states, us, cfg.fd_eps)
 
     def cost_expansion(states, us):
-        """lx, lxx, lu, luu, lux at each step via AD of the smooth cost.
-
-        The Δctrl coupling to prev_u is handled by treating u_{t-1} as fixed
-        (receding-horizon practice; exact for the quadratic Δu penalty's u_t
-        block, which is what stabilizes the solve)."""
-        prev_us = jnp.concatenate([prev_ctrl0[None], us[:-1]], axis=0)
-
-        def one(st, u, prev_u):
-            def cx(dx):
-                return stage_cost_x(state_add(m, st, dx), u, prev_u)
-
-            z = jnp.zeros(nx, dt)
-            lx = jax.grad(cx)(z)
-            lxx = jax.hessian(cx)(z)
-            lu = jax.grad(lambda uu: stage_cost_x(st, uu, prev_u))(u)
-            luu = jax.hessian(lambda uu: stage_cost_x(st, uu, prev_u))(u)
-            # the stage cost is additively separable in (x, u) apart from
-            # the tiny flip-indicator term, so the cross block is zero
-            lux = jnp.zeros((nu, nx), dt)
-            return lx, lxx, lu, luu, lux
-
-        return jax.vmap(one)(states, us, prev_us)
+        lx, lxx, lu, luu = quadratize_cost(
+            m, cost_fn, cmd, states, us, prev_ctrl0
+        )
+        # the stage cost is additively separable in (x, u) apart from
+        # the tiny flip-indicator term, so the cross block is zero
+        lux = jnp.zeros((us.shape[0], nu, nx), dt)
+        return lx, lxx, lu, luu, lux
 
     def backward(A, B, lx, lxx, lu, luu, lux, reg):
         # stage cost is evaluated at the POST-step state x_{t+1} = f(x_t, u_t)
@@ -250,16 +270,16 @@ def solve(
             u = _clamp(m, u_nom + alpha * k_t + K_t @ dx)
             st2 = step_fn(st, u)
             c = cost_fn(st2.sensordata, u, prev_u, cmd)
-            return (st2, u), (u, c)
+            return (st2, u), (u, st2, c)
 
         prev_states = jax.tree.map(
             lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
             state0, states,
         )
-        (_, _), (us_new, costs) = jax.lax.scan(
+        (_, _), (us_new, sts_new, costs) = jax.lax.scan(
             body, (state0, prev_ctrl0), (prev_states, us, k, K)
         )
-        return us_new, jnp.sum(costs)
+        return us_new, sts_new, jnp.sum(costs)
 
     us0 = _clamp(m, ctrl_seq)
     states0, cost0 = traj_rollout(us0)
@@ -271,7 +291,7 @@ def solve(
         lx, lxx, lu, luu, lux = cost_expansion(states, us)
         k, K, _ = backward(A, B, lx, lxx, lu, luu, lux, reg)
 
-        cand_us, cand_cost = jax.vmap(
+        cand_us, cand_states, cand_cost = jax.vmap(
             lambda a: forward_controls(states, us, k, K, a)
         )(alphas)
         best = jnp.argmin(cand_cost)
@@ -284,7 +304,13 @@ def solve(
             jnp.maximum(reg / cfg.reg_factor, 1e-6),
             jnp.minimum(reg * cfg.reg_factor, cfg.reg_max),
         )
-        states_new, _ = traj_rollout(us_new)
+        # the winning forward pass already produced the new trajectory —
+        # select it instead of re-rolling-out us_new (one full H-step
+        # physics rollout saved per iteration)
+        states_new = jax.tree.map(
+            lambda cand, old: jnp.where(improved, cand[best], old),
+            cand_states, states,
+        )
         return (us_new, states_new, cost_new, reg_new), cost_new
 
     init = (us0, states0, cost0, jnp.asarray(cfg.reg_init, dt))

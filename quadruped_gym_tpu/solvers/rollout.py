@@ -68,6 +68,9 @@ def make_cost_fn(m: PhysicsModel) -> CostFn:
     def fn(sens, ctrl, prev_ctrl, cmd):
         return walking_stage_cost(sl, sens, ctrl, prev_ctrl, cmd)
 
+    # marker checked by the fused whole-rollout kernel, whose stage cost
+    # is hard-wired to this function's math
+    fn._is_walking_stage_cost = True
     return fn
 
 
@@ -144,9 +147,21 @@ def lane_batched_rollout_cost(
     from ..ops import lane_engine
     from ..ops import leg_engine as _leg_engine
 
+    if engine_impl not in ("lane", "leg", "pallas", "fused"):
+        raise ValueError(
+            f"unknown engine_impl {engine_impl!r}; "
+            "valid: 'lane', 'leg', 'pallas', 'fused'"
+        )
     if engine_impl == "fused" and _leg_engine.is_compatible(m):
         from ..ops import pallas_engine
 
+        if not getattr(cost_fn, "_is_walking_stage_cost", False):
+            raise ValueError(
+                "engine_impl='fused' hard-wires the walking stage cost "
+                "inside the kernel; a custom cost_fn would be silently "
+                "ignored. Use make_cost_fn(m), or engine_impl='pallas' "
+                "for custom costs."
+            )
         return pallas_engine.fused_rollout_cost(
             m, state0, ctrl_seqs, cmd, prev_ctrl0, cfg.frame_skip,
             solver_iterations=newton_iterations,
@@ -157,6 +172,15 @@ def lane_batched_rollout_cost(
     elif engine_impl in ("leg", "pallas", "fused") and _leg_engine.is_compatible(m):
         eng = _leg_engine
     else:
+        if engine_impl != "lane":
+            import warnings
+
+            warnings.warn(
+                f"engine_impl={engine_impl!r} needs the feet-only "
+                "collision model (leg_engine.is_compatible); falling "
+                "back to the slower lane engine",
+                stacklevel=2,
+            )
         eng = lane_engine
     if dp is not None and eng is lane_engine:
         raise ValueError(

@@ -194,51 +194,14 @@ def solve(
         (_, _), (states, costs) = jax.lax.scan(body, (state0, prev_ctrl0), us)
         return states, jnp.sum(costs)
 
-    # reuse iLQR's FD linearization and AD cost expansion by building a
-    # throwaway config-compatible closure set (ilqr exposes them as
-    # inner functions; re-derive the few lines here against its helpers)
+    # FD linearization + AD cost expansion shared with iLQR
     def linearize(states, us):
-        prev_states = jax.tree.map(
-            lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
-            state0, states,
-        )
-        eps = cfg.fd_eps
-
-        def fd_one(st, u):
-            def fx(dx):
-                p = step_fn(ilqr_mod.state_add(m, st, dx), u)
-                q = step_fn(ilqr_mod.state_add(m, st, -dx), u)
-                return ilqr_mod.state_diff(m, p, q) / (2 * eps)
-
-            def fu(du):
-                p = step_fn(st, u + du)
-                q = step_fn(st, u - du)
-                return ilqr_mod.state_diff(m, p, q) / (2 * eps)
-
-            A = jax.vmap(fx)(eps * jnp.eye(nx, dtype=dt)).T
-            B = jax.vmap(fu)(eps * jnp.eye(nu, dtype=dt)).T
-            return A, B
-
-        return jax.vmap(fd_one)(prev_states, us)
+        return ilqr_mod.fd_linearize(m, step_fn, state0, states, us,
+                                     cfg.fd_eps)
 
     def cost_expansion(states, us):
-        prev_us = jnp.concatenate([prev_ctrl0[None], us[:-1]], axis=0)
-
-        def stage_cost_x(st, u, prev_u):
-            return cost_fn(ilqr_mod.smooth_sensordata(m, st), u, prev_u, cmd)
-
-        def one(st, u, prev_u):
-            def cx(dx):
-                return stage_cost_x(ilqr_mod.state_add(m, st, dx), u, prev_u)
-
-            z = jnp.zeros(nx, dt)
-            lx = jax.grad(cx)(z)
-            lxx = jax.hessian(cx)(z)
-            lu = jax.grad(lambda uu: stage_cost_x(st, uu, prev_u))(u)
-            luu = jax.hessian(lambda uu: stage_cost_x(st, uu, prev_u))(u)
-            return lx, lxx, lu, luu
-
-        return jax.vmap(one)(states, us, prev_us)
+        return ilqr_mod.quadratize_cost(m, cost_fn, cmd, states, us,
+                                        prev_ctrl0)
 
     def condense_full(F, lx, lxx):
         if mesh is None:
@@ -260,8 +223,7 @@ def solve(
         return fn(Fp, lxp, lxxp)
 
     def iteration(carry, _):
-        us, cost = carry
-        states, _ = traj_rollout(us)
+        us, states, cost = carry
         A, B = linearize(states, us)
         lx, lxx, lu, luu = cost_expansion(states, us)
         F = sensitivities(A, B)
@@ -280,19 +242,25 @@ def solve(
 
         def try_alpha(a):
             cand = jnp.clip(us + a * du, lo_u, hi_u)
-            _, c = traj_rollout(cand)
-            return cand, c
+            sts, c = traj_rollout(cand)
+            return cand, sts, c
 
-        cand_us, cand_cost = jax.vmap(try_alpha)(alphas)
+        cand_us, cand_states, cand_cost = jax.vmap(try_alpha)(alphas)
         best = jnp.argmin(cand_cost)
         improved = cand_cost[best] < cost
         us_new = jnp.where(improved, cand_us[best], us)
         cost_new = jnp.where(improved, cand_cost[best], cost)
-        return (us_new, cost_new), cost_new
+        # the line search already rolled out every candidate — carry the
+        # winner's states instead of re-rolling them out next iteration
+        states_new = jax.tree.map(
+            lambda cand, old: jnp.where(improved, cand[best], old),
+            cand_states, states,
+        )
+        return (us_new, states_new, cost_new), cost_new
 
     us0 = jnp.clip(ctrl_seq, lo_u, hi_u)
-    _, cost0 = traj_rollout(us0)
-    (us, cost), _ = jax.lax.scan(
-        iteration, (us0, cost0), None, length=cfg.iterations
+    states0, cost0 = traj_rollout(us0)
+    (us, _, cost), _ = jax.lax.scan(
+        iteration, (us0, states0, cost0), None, length=cfg.iterations
     )
     return SQPResult(ctrl_seq=us, cost=cost, initial_cost=cost0)

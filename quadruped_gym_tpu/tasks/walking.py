@@ -222,7 +222,7 @@ def batched_step(
     state: WalkingState,  # batched pytree, leading axis B
     action: jnp.ndarray,  # (B, nu)
     engine_impl: str = "auto",
-    newton_iterations: int = 4,
+    newton_iterations: Optional[int] = None,
     ls_iterations: int = 8,
 ) -> StepOutput:
     """``vmap(step)`` semantics with physics through the batch-minor engine.
@@ -233,9 +233,12 @@ def batched_step(
     math is negligible next to physics, so it simply stays vmapped; only
     step 4 (the frame-skipped substeps) changes layout. ``engine_impl``:
     "auto" picks the leg-batched engine when the model supports it (feet-
-    only collision) else the lane engine. The Newton budget is fixed
-    (``newton_iterations``/``ls_iterations``) instead of
-    ``cfg.solver_iterations``."""
+    only collision) else the lane engine. The Newton budget is a fixed
+    iteration count (no convergence branching): ``newton_iterations``
+    defaults to ``cfg.solver_iterations`` (or 4 when that is None/
+    adaptive)."""
+    if newton_iterations is None:
+        newton_iterations = cfg.solver_iterations or 4
     from ..ops import lane_engine, leg_engine
     from ..physics.smooth import clip_ctrl
 

@@ -118,6 +118,49 @@ def test_mass_scale_identity_and_effect(m, state):
     assert float(jnp.max(jnp.abs(base.qvel - heavy.qvel))) > 1e-4
 
 
+@pytest.fixture(scope="module")
+def grounded(m):
+    """Feet pressed into the plane (the reset pose is airborne)."""
+    st = engine.make_state(m, dtype=jnp.float64)
+    qpos = jnp.tile(st.qpos, (B, 1)).at[:, 2].set(0.02)
+    qvel = jnp.tile(st.qvel, (B, 1))
+    act = jnp.tile(jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1))
+    return lane_engine.from_batched(
+        qpos, qvel, act, jnp.zeros(B, jnp.float64),
+        jnp.zeros((B, m.nsensordata), jnp.float64),
+    )
+
+
+def test_tilt_matches_rebuilt_model(m, grounded):
+    """Ground-slope override == rebuilding the model with the tilted
+    plane normal (same tangent-frame rule), with contact active."""
+    tx, ty = 0.15, -0.1
+    n = np.array([-tx, -ty, 1.0])
+    n /= np.linalg.norm(n)
+    m2 = dataclasses.replace(m, plane_normal=n)
+    ref = leg_engine.step(m2, grounded, _ctrl(), 8, 12)
+    got = leg_engine.step(
+        m, grounded, _ctrl(), 8, 12,
+        dp=spec.DomainParams(tilt_x=jnp.full((B,), tx, jnp.float64),
+                             tilt_y=jnp.full((B,), ty, jnp.float64)),
+    )
+    np.testing.assert_allclose(np.asarray(got.qvel), np.asarray(ref.qvel),
+                               rtol=1e-12, atol=1e-13)
+    # the tilt genuinely changes the contact dynamics
+    base = leg_engine.step(m, grounded, _ctrl(), 8, 12)
+    assert float(jnp.max(jnp.abs(base.qvel - got.qvel))) > 1e-3
+
+
+def test_tilt_zero_is_identity(m, grounded):
+    base = leg_engine.step(m, grounded, _ctrl(), 8, 12)
+    zero = leg_engine.step(
+        m, grounded, _ctrl(), 8, 12,
+        dp=spec.DomainParams(tilt_x=jnp.zeros(B), tilt_y=jnp.zeros(B)),
+    )
+    np.testing.assert_allclose(np.asarray(base.qvel), np.asarray(zero.qvel),
+                               rtol=1e-13, atol=1e-14)
+
+
 def test_sample_domain_params_shapes():
     dp = spec.sample_domain_params(jax.random.PRNGKey(1), 7)
     assert dp.friction.shape == (7,)
