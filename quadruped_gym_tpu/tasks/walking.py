@@ -263,8 +263,11 @@ def batched_step(
 
     # 4. clip + physics substeps through the batch-minor engine
     ctrl = clip_ctrl(m, action.astype(dt))
-    if engine_impl == "leg" or (
-        engine_impl == "auto" and leg_engine.is_compatible(m)
+    if engine_impl == "pallas" and leg_engine.is_compatible(m):
+        # TPU-only: the fused Mosaic substep kernel (feet-only models)
+        from ..ops import pallas_engine as eng
+    elif engine_impl == "leg" or (
+        engine_impl in ("auto", "pallas") and leg_engine.is_compatible(m)
     ):
         eng = leg_engine
     else:
