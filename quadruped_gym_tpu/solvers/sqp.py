@@ -206,7 +206,7 @@ def solve(
     def condense_full(F, lx, lxx):
         if mesh is None:
             return condense(F, lx, lxx, axis_name=None)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.devices.size

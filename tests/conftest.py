@@ -39,3 +39,16 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _free_compiled_executables():
+    """Drop compiled executables between test modules.
+
+    The suite accumulates ~150 large XLA CPU executables in one process;
+    past ~the 68th test, deserializing the next persistent-cache entry
+    aborts inside XLA (reproducible at test_sqp in full-suite runs, never
+    standalone). Clearing after each module keeps the per-process load
+    bounded; re-traces within later modules hit the on-disk cache."""
+    yield
+    jax.clear_caches()

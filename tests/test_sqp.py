@@ -78,7 +78,7 @@ def test_condense_sharded_matches_single(cpu_devices):
     mesh = parallel.make_mesh(
         cpu_devices[:4], axis_names=("horizon",), shape=(4,)
     )
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = shard_map(
