@@ -121,3 +121,61 @@ def closed_loop(
 
     (carry, phys), traj = jax.lax.scan(body, (carry, phys), None, length=n_steps)
     return carry, phys, traj
+
+
+def delayed_closed_loop(
+    m: PhysicsModel,
+    cfg: MPCConfig,
+    cost_fn: rollout_mod.CostFn,
+    carry: MPCCarry,
+    phys: engine.State,
+    cmd: Command,
+    n_steps: int,
+    plant_model: Optional[PhysicsModel] = None,
+):
+    """Closed loop with a one-control-period computation delay — the
+    real-time MPC pipeline pattern.
+
+    ``closed_loop`` assumes the solve is instantaneous (plan from x_t,
+    apply at t). On hardware the solve takes real time, so the pipelined
+    controller plans the control for step t+1 WHILE step t's control is
+    being actuated: the solve starts from the one-step PREDICTION
+    x̂_{t+1} = f(x_t, u_t) under the planner model, and its result is
+    applied one period later. This gives the solver a full control
+    period of latency budget (e.g. 10 ms at 100 Hz) instead of zero —
+    the semantics under which the <10 ms solve target is sufficient for
+    real-time control. This function reproduces those delay semantics
+    exactly for on-device evaluation and tuning.
+
+    Returns (final_carry, final_phys, stacked per-step
+    (applied_ctrl, sensordata, best_cost))."""
+    pm_plant = plant_model if plant_model is not None else m
+    rcfg = cfg.rollout
+
+    def body(c, _):
+        carry, phys, pending = c
+        # predict the state after the currently-actuating control —
+        # the planner model plays the role of the onboard predictor
+        pred = engine.control_step(
+            m, phys, pending, cfg.plant_frame_skip,
+            max_contacts=rcfg.max_contacts,
+            solver_iterations=rcfg.solver_iterations,
+        )
+        # the solve that (on hardware) overlaps this control period
+        ctrl_next, carry, info = plan_and_act(
+            m, cfg, cost_fn, carry, pred, cmd
+        )
+        # meanwhile the real plant advances under the pending control
+        phys = engine.control_step(
+            pm_plant, phys, pending, cfg.plant_frame_skip,
+            max_contacts=cfg.plant_max_contacts,
+            solver_iterations=cfg.plant_solver_iterations,
+        )
+        return (carry, phys, ctrl_next), (
+            pending, phys.sensordata, info["best_cost"]
+        )
+
+    (carry, phys, _), traj = jax.lax.scan(
+        body, (carry, phys, carry.prev_ctrl), None, length=n_steps
+    )
+    return carry, phys, traj

@@ -83,6 +83,35 @@ def test_closed_loop_runtime():
     assert bool(phys.qpos[2] > 0.03)  # robot has not fallen through the floor
 
 
+def test_delayed_closed_loop_runtime():
+    """The one-period-computation-delay (pipelined) loop runs, stays
+    finite, and keeps the robot above the floor."""
+    st = _standing_state()
+    cfg = mpc_runtime.MPCConfig(
+        solver="mppi",
+        mppi=mppi.MPPIConfig(num_samples=8, rollout=RCFG),
+        plant_frame_skip=2,
+        plant_max_contacts=8,
+        plant_solver_iterations=3,
+    )
+    carry = mpc_runtime.init_carry(PM, cfg, horizon=5, key=jax.random.PRNGKey(2))
+    cost_fn = rollout.make_cost_fn(PM)
+    carry, phys, (ctrls, sens, costs) = jax.jit(
+        lambda c, p: mpc_runtime.delayed_closed_loop(
+            PM, cfg, cost_fn, c, p, CMD, 3
+        )
+    )(carry, st)
+    assert ctrls.shape == (3, 12)
+    # step 0 applies the held previous control (the solve is in flight)
+    np.testing.assert_allclose(
+        np.asarray(ctrls[0]), np.asarray(np.array([0.0, 0.0, -0.5] * 4)),
+        atol=1e-6,
+    )
+    assert bool(jnp.isfinite(ctrls).all())
+    assert bool(jnp.isfinite(costs).all())
+    assert bool(phys.qpos[2] > 0.03)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from quadruped_gym_tpu.runtime import checkpoint
 
