@@ -43,6 +43,18 @@ DEFAULT_BLOCK = 1024
 _SUB = 8  # f32 sublane count: batch folds to (8, B/8)
 
 
+def _resolve_interpret(interpret):
+    """Mosaic only compiles for TPU; on the CPU backend (tests, virtual
+    meshes, TPU-less users) fall back to interpret mode automatically
+    when the caller didn't choose."""
+    if interpret is not None:
+        return interpret
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) == "cpu":
+        return True
+    return jax.default_backend() == "cpu"
+
+
 def _dp_from_refs(dp_names, dp_refs):
     from ..models.spec import DomainParams
 
@@ -98,7 +110,7 @@ def step(
     solver_iterations: int = 4,
     ls_iterations: int = 8,
     block: int = DEFAULT_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
     dp=None,
     compute_sensors: bool = True,
 ) -> LaneState:
@@ -107,6 +119,7 @@ def step(
     With ``compute_sensors=False`` the returned sensordata is zeros
     (sensor + spatial-acceleration assembly skipped — the intermediate-
     substep configuration, as in ``leg_engine.control_step``)."""
+    interpret = _resolve_interpret(interpret)
     S = ls.qpos.shape[1]
     block = min(block, S)
     assert S % block == 0, f"batch {S} not divisible by block {block}"
@@ -160,7 +173,7 @@ def control_step(
     solver_iterations: int = 4,
     ls_iterations: int = 8,
     block: int = DEFAULT_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
     dp=None,
 ) -> LaneState:
     """frame_skip substeps under constant control (sensors on the last —
@@ -290,7 +303,7 @@ def fused_rollout_cost(
     ls_iterations: int = 8,
     height: float = 0.13,
     block: int = DEFAULT_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
     dp=None,
 ) -> jnp.ndarray:
     """(S,) total walking-stage costs of H-step rollouts from ``state0``,
@@ -302,6 +315,7 @@ def fused_rollout_cost(
     configs 3/5)."""
     from ..tasks.rewards import SensorSlices
 
+    interpret = _resolve_interpret(interpret)
     S, H, nu = ctrl_seqs.shape
     dt = ctrl_seqs.dtype
     block = min(block, S)

@@ -81,6 +81,26 @@ def test_sharded_mppi_plan_runs_and_is_finite(m, small_rollout_cfg, cpu_devices)
     assert (np.asarray(res.mean) <= hi + 1e-6).all()
 
 
+def test_sharded_mppi_fused_engine_runs(cpu_devices):
+    """Multi-chip MPPI with the fused whole-rollout kernel per shard
+    (interpret mode on the virtual CPU mesh): the config-driven
+    lane_engine_impl="fused" path compiles under shard_map and returns a
+    finite, in-bounds plan."""
+    pm = spec.get_planning_model()
+    mesh = parallel.make_mesh(cpu_devices[:2])
+    state, cmd, prev, cost_fn = _setup(pm)
+    cfg = mppi.MPPIConfig(
+        num_samples=16, sigma=0.2, iterations=1,
+        lane=True, lane_engine_impl="fused",
+        rollout=rollout.RolloutConfig(horizon=2, frame_skip=1),
+    )
+    mean = jnp.tile(prev, (2, 1))
+    res = parallel.sharded_mppi_plan(
+        pm, cfg, cost_fn, state, mean, cmd, prev, jax.random.PRNGKey(5), mesh)
+    assert np.isfinite(np.asarray(res.mean)).all()
+    assert np.isfinite(float(res.best_cost))
+
+
 def test_sharded_mppi_matches_single_shard_semantics(m, small_rollout_cfg,
                                                      cpu_devices):
     """On a 1-device mesh the collective reductions are identities, so the
