@@ -1,5 +1,7 @@
 """Native telemetry logger: build, schema parity, throughput sanity."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -68,3 +70,60 @@ def test_fallback_factory(tmp_path):
     lg.log_many(0, np.zeros((1, 11)))
     lg.flush()
     lg.close()
+
+
+def test_control_bus_roundtrip(lib):
+    name = f"/qgt_bus_test_{os.getpid()}"
+    bus = native.ControlBus.create(name, nsensor=33, nctrl=12)
+    try:
+        assert bus.read_sensor()[0] == 0  # never written
+        bus.write_sensor(np.arange(33.0), t=1.25)
+        bus.write_ctrl(np.arange(12.0) * 0.1, t=2.5)
+        seq, v, t = bus.read_sensor()
+        assert seq == 2 and t == 1.25
+        np.testing.assert_array_equal(v, np.arange(33.0))
+        # a second process attaches and exchanges both directions
+        other = native.ControlBus.open(name)
+        seq, v, t = other.read_ctrl()
+        assert seq == 2 and t == 2.5
+        np.testing.assert_allclose(v, np.arange(12.0) * 0.1)
+        other.write_sensor(np.full(33, 7.0), t=9.0)
+        other.close()
+        seq, v, t = bus.read_sensor()
+        assert seq == 4 and t == 9.0 and (v == 7.0).all()
+    finally:
+        bus.unlink()
+        bus.close()
+
+
+def test_control_bus_no_torn_reads(lib):
+    """Seqlock consistency under a concurrent writer: every snapshot the
+    reader obtains is internally consistent (all elements equal)."""
+    import threading
+
+    name = f"/qgt_bus_tear_{os.getpid()}"
+    bus = native.ControlBus.create(name, nsensor=64, nctrl=12)
+    stop = threading.Event()
+
+    def writer():
+        k = 0.0
+        while not stop.is_set():
+            k += 1.0
+            bus.write_sensor(np.full(64, k), t=k)
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    try:
+        reads = 0
+        while reads < 2000:
+            seq, v, t = bus.read_sensor()
+            if seq == 0:
+                continue
+            assert v.min() == v.max(), "torn snapshot"
+            assert t == v[0]
+            reads += 1
+    finally:
+        stop.set()
+        th.join(timeout=5)
+        bus.unlink()
+        bus.close()
