@@ -209,8 +209,11 @@ class ControlBus:
         return cls(lib, h, name)
 
     def _write(self, fn, values, n, t):
+        if not self._h:
+            raise RuntimeError("ControlBus is closed")
         v = np.ascontiguousarray(values, dtype=np.float64)
-        assert v.shape == (n,), (v.shape, n)
+        if v.shape != (n,):
+            raise ValueError(f"expected shape ({n},), got {v.shape}")
         fn(self._h, v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
            float(t))
 
@@ -221,6 +224,8 @@ class ControlBus:
         self._write(self._lib.qgt_bus_write_ctrl, values, self.nctrl, t)
 
     def _read(self, fn, n):
+        if not self._h:
+            raise RuntimeError("ControlBus is closed")
         out = np.empty(n, np.float64)
         t = ctypes.c_double(0.0)
         seq = fn(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -71,21 +71,28 @@ double* block_data(BlockHeader* h) {
 }
 
 void seqlock_write(BlockHeader* h, const double* v, uint32_t n, double t) {
+  // parity self-heals after a writer crash: if the previous writer died
+  // mid-write (seq left odd), start from the NEXT odd value so the
+  // invariant (odd = in flight, even = consistent) is restored
   uint64_t s = h->seq.load(std::memory_order_relaxed);
-  h->seq.store(s + 1, std::memory_order_release);  // odd: write in flight
+  uint64_t odd = (s & 1) ? s + 2 : s + 1;
+  h->seq.store(odd, std::memory_order_release);  // odd: write in flight
   std::atomic_thread_fence(std::memory_order_release);
   h->timestamp = t;
   std::memcpy(block_data(h), v, n * sizeof(double));
   std::atomic_thread_fence(std::memory_order_release);
-  h->seq.store(s + 2, std::memory_order_release);  // even: consistent
+  h->seq.store(odd + 1, std::memory_order_release);  // even: consistent
 }
 
-// returns the (even) sequence number of the snapshot, or 0 if never written
+// returns the (even) sequence number of the snapshot, or 0 if no
+// consistent snapshot is available (never written, or the writer died
+// mid-write and has not yet reattached — bounded retries keep the
+// 100 Hz caller from hanging; it holds its last value instead)
 uint64_t seqlock_read(BlockHeader* h, double* v, uint32_t n, double* t) {
-  for (;;) {
+  for (int attempt = 0; attempt < 1000; ++attempt) {
     uint64_t s1 = h->seq.load(std::memory_order_acquire);
     if (s1 == 0) return 0;
-    if (s1 & 1) continue;  // write in flight
+    if (s1 & 1) continue;  // write in flight (or a crashed writer)
     std::atomic_thread_fence(std::memory_order_acquire);
     double ts = h->timestamp;
     std::memcpy(v, block_data(h), n * sizeof(double));
@@ -96,6 +103,7 @@ uint64_t seqlock_read(BlockHeader* h, double* v, uint32_t n, double* t) {
       return s1;
     }
   }
+  return 0;
 }
 
 Bus* map_bus(const char* name, int fd, size_t size) {
@@ -116,14 +124,23 @@ extern "C" {
 void* qgt_bus_create(const char* name, int nsensor, int nctrl) {
   if (nsensor <= 0 || nctrl <= 0) return nullptr;
   size_t size = total_bytes(nsensor, nctrl);
-  int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
+  // always create a FRESH segment: unlink any stale one first, then
+  // O_EXCL. Peers still attached to an old segment keep their own
+  // (now-anonymous) mapping untouched — re-truncating a live object in
+  // place would shift their block offsets under them (or SIGBUS them).
+  shm_unlink(name);
+  int fd = shm_open(name, O_CREAT | O_EXCL | O_RDWR, 0600);
   if (fd < 0) return nullptr;
   if (ftruncate(fd, static_cast<off_t>(size)) != 0) {
     close(fd);
+    shm_unlink(name);
     return nullptr;
   }
   Bus* b = map_bus(name, fd, size);
-  if (!b) return nullptr;
+  if (!b) {
+    shm_unlink(name);
+    return nullptr;
+  }
   auto* hdr = static_cast<ShmHeader*>(b->base);
   hdr->nsensor = b->nsensor = static_cast<uint32_t>(nsensor);
   hdr->nctrl = b->nctrl = static_cast<uint32_t>(nctrl);

@@ -46,7 +46,13 @@ _SUB = 8  # f32 sublane count: batch folds to (8, B/8)
 def _resolve_interpret(interpret):
     """Mosaic only compiles for TPU; on the CPU backend (tests, virtual
     meshes, TPU-less users) fall back to interpret mode automatically
-    when the caller didn't choose."""
+    when the caller didn't choose.
+
+    The heuristic keys off the PROCESS defaults (jax_default_device /
+    default backend) because the placement of the enclosing jit is not
+    visible at trace time. In a mixed process (CPU default device but a
+    TPU-placed computation, or vice versa) pass ``interpret`` explicitly
+    — it always wins."""
     if interpret is not None:
         return interpret
     dd = jax.config.jax_default_device

@@ -267,10 +267,19 @@ def batched_step(
         # TPU-only: the fused Mosaic substep kernel (feet-only models)
         from ..ops import pallas_engine as eng
     elif engine_impl == "leg" or (
-        engine_impl in ("auto", "pallas") and leg_engine.is_compatible(m)
+        engine_impl == "auto" and leg_engine.is_compatible(m)
     ):
         eng = leg_engine
     else:
+        if engine_impl == "pallas":
+            import warnings
+
+            warnings.warn(
+                "engine_impl='pallas' needs the feet-only collision model "
+                "(leg_engine.is_compatible); falling back to the slower "
+                "lane engine",
+                stacklevel=2,
+            )
         eng = lane_engine
     ls = lane_engine.from_batched(
         state.phys.qpos, state.phys.qvel, state.phys.act,
