@@ -500,3 +500,18 @@ def get_planning_model(n_directions: int = 128) -> PhysicsModel:
         base = get_model(collision_geom_prefixes=FEET_COLLISION_PREFIXES)
         _MODEL_CACHE[key] = decimate_hulls(base, n_directions)
     return _MODEL_CACHE[key]
+
+
+def get_fast_plant_model(n_directions: int = 128) -> PhysicsModel:
+    """Full lower-leg collision set (feet + shins + ankle servos) with
+    decimated hulls: the plant-fidelity configuration for the leg/Pallas
+    engines. The raw foot hulls have ~440 vertices — fine for the
+    gather-based engines but ruinous for the Mosaic kernels, whose
+    vertex selection unrolls; support-direction decimation keeps contact
+    geometry to sub-mm while shrinking every hull to <= ~n_directions
+    support vertices."""
+    key = ("fast_plant", n_directions)
+    if key not in _MODEL_CACHE:
+        base = get_model(collision_geom_prefixes=MPC_COLLISION_PREFIXES)
+        _MODEL_CACHE[key] = decimate_hulls(base, n_directions)
+    return _MODEL_CACHE[key]

@@ -60,7 +60,10 @@ class _LegStatic:
     base: int  # body id of the free base
     leg_bodies: Tuple[Tuple[int, ...], ...]  # [level][leg] body ids
     leg_joints: Tuple[Tuple[int, ...], ...]  # [level][leg] joint ids
-    foot_geoms: Tuple[int, ...]  # collision geom index per leg
+    # collision geoms, grouped into per-leg identical quadruples:
+    # [(chain level, (geom id per leg))] — feet-only models have one
+    # group at the last level; the full plant adds shin/ankle groups
+    col_groups: Tuple[Tuple[int, Tuple[int, ...]], ...]
 
 
 def _leg_static(m: PhysicsModel) -> _LegStatic:
@@ -138,23 +141,40 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
     dyn = np.asarray(m.actuator_dynprm)
     assert np.allclose(dyn, dyn[0]), "actuator_dynprm differs across actuators"
 
-    # collision: exactly one identical foot geom per leg, on the last level
-    assert len(m.col_geom_bodyid) == NLEG, "leg engine needs the feet-only model"
-    foot_geoms = []
-    for l in range(NLEG):
-        g = m.col_geom_bodyid.index(leg_bodies[NLEV - 1][l])
-        foot_geoms.append(g)
-    for field in ("col_geom_pos", "col_geom_quat", "col_friction", "col_solref",
-                  "col_solimp", "col_margin", "col_gap", "col_theta2", "col_theta3"):
-        vals = np.asarray(getattr(m, field))[list(foot_geoms)]
-        assert np.allclose(vals, vals[0]), f"{field} differs across feet"
-    for g in foot_geoms[1:]:
-        assert np.array_equal(m.col_hull_verts[g], m.col_hull_verts[foot_geoms[0]])
+    # collision: every geom must live on a leg body, and the geoms of
+    # each level must form per-leg identical quadruples (one group per
+    # geom slot: feet-only -> 1 group; the full plant -> feet + shins +
+    # ankle servos -> 3 groups)
+    geoms_by_body: dict = {}
+    for g, b in enumerate(m.col_geom_bodyid):
+        geoms_by_body.setdefault(b, []).append(g)
+    col_groups = []
+    grouped = 0
+    for k in range(NLEV):
+        per_leg = [sorted(geoms_by_body.get(b, [])) for b in leg_bodies[k]]
+        counts = {len(x) for x in per_leg}
+        assert len(counts) == 1, f"uneven geom counts across legs, level {k}"
+        for j in range(counts.pop()):
+            group = tuple(per_leg[l][j] for l in range(NLEG))
+            col_groups.append((k, group))
+            grouped += NLEG
+    assert grouped == len(m.col_geom_bodyid), (
+        "collision geoms outside the leg chains are not supported"
+    )
+    for _, group in col_groups:
+        for field in ("col_geom_pos", "col_geom_quat", "col_friction",
+                      "col_solref", "col_solimp", "col_margin", "col_gap",
+                      "col_theta2", "col_theta3"):
+            vals = np.asarray(getattr(m, field))[list(group)]
+            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+        for g in group[1:]:
+            assert np.array_equal(m.col_hull_verts[g],
+                                  m.col_hull_verts[group[0]])
     s = _LegStatic(
         base=base,
         leg_bodies=leg_bodies,
         leg_joints=leg_joints,
-        foot_geoms=tuple(foot_geoms),
+        col_groups=tuple(col_groups),
     )
     object.__setattr__(m, "_leg_static_cache", s)
     return s
@@ -553,81 +573,84 @@ def _sym_matvec(Mff, Mfl, Mll, x_free, x_leg):
 
 
 def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None):
-    """Plane contacts for the four feet at once: 3 slots of (4, B)."""
+    """Plane contacts for every collision group: 3 slots of (4, B) per
+    group, each slot tagged (pos, dist, active, level, g0)."""
     ls = _leg_static(m)
     st = _static(m)
     if plane_frame is None:
         plane_frame, plane_off = st.plane_frame, st.plane_off
     n = plane_frame[0]
-    g0 = ls.foot_geoms[0]
     dt = kin.base_pos[0].dtype
 
-    foot_mat = kin.leg_mat[NLEV - 1]
-    foot_pos = kin.leg_pos[NLEV - 1]
-    gpos = L.v3_add(foot_pos, L.mat_vec(foot_mat, _v3c(m.col_geom_pos[g0])))
-    gmat = L.mat_mul(
-        foot_mat,
-        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.col_geom_quat[g0])),
-    )
-    verts = np.asarray(m.col_hull_verts[g0])
-    V = verts.shape[0]
-    lane_ndim = jnp.ndim(gpos[0])  # == 2 (legs, batch)
-    vshape = (V,) + (1,) * lane_ndim
-    vx = jnp.asarray(verts[:, 0], dt).reshape(vshape)
-    vy = jnp.asarray(verts[:, 1], dt).reshape(vshape)
-    vz = jnp.asarray(verts[:, 2], dt).reshape(vshape)
-    vn2 = jnp.asarray(np.sum(verts**2, axis=1), dt).reshape(vshape)
-    vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
-
-    a = L.mat_tvec(gmat, n)
-    base = L.sub(L.v3_dot(gpos, n), plane_off)
-    h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
-
-    margin = _f(m.col_margin[g0])
-    theta2 = _f(m.col_theta2[g0])
-    theta3 = _f(m.col_theta3[g0])
-    inc = _f(m.col_margin[g0] - m.col_gap[g0])
-
-    def vert_at(idx):
-        return tuple(jnp.take(vf, idx) for vf in vflat)
-
-    i0 = jnp.argmin(h, axis=0)
-    h0 = jnp.take_along_axis(h, i0[None], axis=0)[0]
-    v0 = vert_at(i0)
-    p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
-    a0 = h0 < margin
-
-    cand = h < 2.0 * margin
-    vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]
-    dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
-    dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
-    dmask = jnp.where(cand, dplan, -1.0)
-    i1 = jnp.argmax(dmask, axis=0)
-    d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
-    a1 = a0 & (d1 >= theta2)
-    v1 = vert_at(i1)
-    p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
-    h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
-
-    u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
-    inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
-    dh = h1 - h0
-    t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
-    perp = L.v3_cross(n, t)
-    gq = L.mat_tvec(gmat, perp)
-    cdot = vx * gq[0][None] + vy * gq[1][None] + vz * gq[2][None]
-    cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, gq)[None]), -1.0)
-    i2 = jnp.argmax(cmask, axis=0)
-    c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
-    a2 = a1 & (c2 >= theta3)
-    v2 = vert_at(i2)
-    p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
-    h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
-
     slots = []
-    for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
-        pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
-        slots.append((pos, hi, ai & (hi < inc)))
+    for level, group in ls.col_groups:
+        g0 = group[0]
+        body_mat = kin.leg_mat[level]
+        body_pos = kin.leg_pos[level]
+        gpos = L.v3_add(body_pos, L.mat_vec(body_mat, _v3c(m.col_geom_pos[g0])))
+        gmat = L.mat_mul(
+            body_mat,
+            tuple(tuple(float(v) for v in r)
+                  for r in _np_quat_mat(m.col_geom_quat[g0])),
+        )
+        verts = np.asarray(m.col_hull_verts[g0])
+        V = verts.shape[0]
+        lane_ndim = jnp.ndim(gpos[0])  # == 2 (legs, batch)
+        vshape = (V,) + (1,) * lane_ndim
+        vx = jnp.asarray(verts[:, 0], dt).reshape(vshape)
+        vy = jnp.asarray(verts[:, 1], dt).reshape(vshape)
+        vz = jnp.asarray(verts[:, 2], dt).reshape(vshape)
+        vn2 = jnp.asarray(np.sum(verts**2, axis=1), dt).reshape(vshape)
+        vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
+
+        a = L.mat_tvec(gmat, n)
+        base = L.sub(L.v3_dot(gpos, n), plane_off)
+        h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
+
+        margin = _f(m.col_margin[g0])
+        theta2 = _f(m.col_theta2[g0])
+        theta3 = _f(m.col_theta3[g0])
+        inc = _f(m.col_margin[g0] - m.col_gap[g0])
+
+        def vert_at(idx):
+            return tuple(jnp.take(vf, idx) for vf in vflat)
+
+        i0 = jnp.argmin(h, axis=0)
+        h0 = jnp.take_along_axis(h, i0[None], axis=0)[0]
+        v0 = vert_at(i0)
+        p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
+        a0 = h0 < margin
+
+        cand = h < 2.0 * margin
+        vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]
+        dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
+        dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
+        dmask = jnp.where(cand, dplan, -1.0)
+        i1 = jnp.argmax(dmask, axis=0)
+        d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
+        a1 = a0 & (d1 >= theta2)
+        v1 = vert_at(i1)
+        p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+        h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
+
+        u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+        inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+        dh = h1 - h0
+        t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
+        perp = L.v3_cross(n, t)
+        gq = L.mat_tvec(gmat, perp)
+        cdot = vx * gq[0][None] + vy * gq[1][None] + vz * gq[2][None]
+        cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, gq)[None]), -1.0)
+        i2 = jnp.argmax(cmask, axis=0)
+        c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
+        a2 = a1 & (c2 >= theta3)
+        v2 = vert_at(i2)
+        p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+        h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
+
+        for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+            pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
+            slots.append((pos, hi, ai & (hi < inc), level, g0))
     return slots
 
 
@@ -658,7 +681,7 @@ def _plane(m: PhysicsModel, dp):
 
 def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
                   plane_off=None):
-    """Same three contact slots as ``_collide`` but with the argmin/gather
+    """Same contact slots as ``_collide`` but with the argmin/gather
     selections rewritten as unrolled select-loops over the hull vertices —
     no dynamic gathers, so it lowers inside Pallas/Mosaic kernels (and the
     decimated planning hulls keep V small)."""
@@ -667,100 +690,107 @@ def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
     if plane_frame is None:
         plane_frame, plane_off = st.plane_frame, st.plane_off
     n = plane_frame[0]
-    g0 = ls.foot_geoms[0]
-
-    foot_mat = kin.leg_mat[NLEV - 1]
-    foot_pos = kin.leg_pos[NLEV - 1]
-    gpos = L.v3_add(foot_pos, L.mat_vec(foot_mat, _v3c(m.col_geom_pos[g0])))
-    gmat = L.mat_mul(
-        foot_mat,
-        tuple(tuple(float(v) for v in r) for r in _np_quat_mat(m.col_geom_quat[g0])),
-    )
-    verts = np.asarray(m.col_hull_verts[g0])
-    V = verts.shape[0]
-
-    a = L.mat_tvec(gmat, n)
-    base = L.sub(L.v3_dot(gpos, n), plane_off)
-    # per-vertex heights, as a python list of (4, B) lanes (no V axis)
-    hs = [
-        L.add(L.add(L.mul(float(verts[i, 0]), a[0]),
-                    L.mul(float(verts[i, 1]), a[1])),
-              L.add(L.mul(float(verts[i, 2]), a[2]), base))
-        for i in range(V)
-    ]
-
-    margin = _f(m.col_margin[g0])
-    theta2 = _f(m.col_theta2[g0])
-    theta3 = _f(m.col_theta3[g0])
-    inc = _f(m.col_margin[g0] - m.col_gap[g0])
-
-    # slot 0: deepest vertex (min height)
-    b_h = hs[0]
-    b_v = tuple(jnp.full_like(hs[0], float(verts[0, c])) for c in range(3))
-    for i in range(1, V):
-        take = hs[i] < b_h
-        b_v = tuple(jnp.where(take, float(verts[i, c]), b_v[c]) for c in range(3))
-        b_h = jnp.where(take, hs[i], b_h)
-    h0, v0 = b_h, b_v
-    p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
-    a0 = h0 < margin
-
-    # slot 1: max in-plane distance from v0 among candidates (h < 2*margin)
-    vn2 = [float(np.sum(verts[i] ** 2)) for i in range(V)]
-    v0n2 = L.v3_dot(v0, v0)
-    neg = jnp.full_like(h0, -1.0)
-    b_s = neg
-    b_v1 = tuple(jnp.zeros_like(h0) for _ in range(3))
-    b_h1 = jnp.zeros_like(h0)
-    for i in range(V):
-        vdot0 = (float(verts[i, 0]) * v0[0] + float(verts[i, 1]) * v0[1]
-                 + float(verts[i, 2]) * v0[2])
-        dv2 = vn2[i] - 2.0 * vdot0 + v0n2
-        dplan = jnp.sqrt(jnp.maximum(dv2 - (hs[i] - h0) ** 2, 0.0))
-        s_i = jnp.where(hs[i] < 2.0 * margin, dplan, neg)
-        take = s_i > b_s
-        b_s = jnp.where(take, s_i, b_s)
-        b_v1 = tuple(jnp.where(take, float(verts[i, c]), b_v1[c]) for c in range(3))
-        b_h1 = jnp.where(take, hs[i], b_h1)
-    d1, v1, h1 = b_s, b_v1, b_h1
-    a1 = a0 & (d1 >= theta2)
-    p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
-
-    # slot 2: max perpendicular spread
-    u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
-    inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
-    dh = h1 - h0
-    t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
-    perp = L.v3_cross(n, t)
-    gq = L.mat_tvec(gmat, perp)
-    v0gq = L.v3_dot(v0, gq)
-    b_s = neg
-    b_v2 = tuple(jnp.zeros_like(h0) for _ in range(3))
-    b_h2 = jnp.zeros_like(h0)
-    for i in range(V):
-        cdot = (float(verts[i, 0]) * gq[0] + float(verts[i, 1]) * gq[1]
-                + float(verts[i, 2]) * gq[2])
-        s_i = jnp.where(hs[i] < 2.0 * margin, jnp.abs(cdot - v0gq), neg)
-        take = s_i > b_s
-        b_s = jnp.where(take, s_i, b_s)
-        b_v2 = tuple(jnp.where(take, float(verts[i, c]), b_v2[c]) for c in range(3))
-        b_h2 = jnp.where(take, hs[i], b_h2)
-    c2, v2, h2 = b_s, b_v2, b_h2
-    a2 = a1 & (c2 >= theta3)
-    p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
 
     slots = []
-    for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
-        pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
-        slots.append((pos, hi, ai & (hi < inc)))
+    for level, group in ls.col_groups:
+        g0 = group[0]
+        body_mat = kin.leg_mat[level]
+        body_pos = kin.leg_pos[level]
+        gpos = L.v3_add(body_pos, L.mat_vec(body_mat, _v3c(m.col_geom_pos[g0])))
+        gmat = L.mat_mul(
+            body_mat,
+            tuple(tuple(float(v) for v in r)
+                  for r in _np_quat_mat(m.col_geom_quat[g0])),
+        )
+        verts = np.asarray(m.col_hull_verts[g0])
+        V = verts.shape[0]
+
+        a = L.mat_tvec(gmat, n)
+        base = L.sub(L.v3_dot(gpos, n), plane_off)
+        # per-vertex heights, as a python list of (4, B) lanes (no V axis)
+        hs = [
+            L.add(L.add(L.mul(float(verts[i, 0]), a[0]),
+                        L.mul(float(verts[i, 1]), a[1])),
+                  L.add(L.mul(float(verts[i, 2]), a[2]), base))
+            for i in range(V)
+        ]
+
+        margin = _f(m.col_margin[g0])
+        theta2 = _f(m.col_theta2[g0])
+        theta3 = _f(m.col_theta3[g0])
+        inc = _f(m.col_margin[g0] - m.col_gap[g0])
+
+        # slot 0: deepest vertex (min height)
+        b_h = hs[0]
+        b_v = tuple(jnp.full_like(hs[0], float(verts[0, c])) for c in range(3))
+        for i in range(1, V):
+            take = hs[i] < b_h
+            b_v = tuple(jnp.where(take, float(verts[i, c]), b_v[c])
+                        for c in range(3))
+            b_h = jnp.where(take, hs[i], b_h)
+        h0, v0 = b_h, b_v
+        p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
+        a0 = h0 < margin
+
+        # slot 1: max in-plane distance from v0 among candidates
+        vn2 = [float(np.sum(verts[i] ** 2)) for i in range(V)]
+        v0n2 = L.v3_dot(v0, v0)
+        neg = jnp.full_like(h0, -1.0)
+        b_s = neg
+        b_v1 = tuple(jnp.zeros_like(h0) for _ in range(3))
+        b_h1 = jnp.zeros_like(h0)
+        for i in range(V):
+            vdot0 = (float(verts[i, 0]) * v0[0] + float(verts[i, 1]) * v0[1]
+                     + float(verts[i, 2]) * v0[2])
+            dv2 = vn2[i] - 2.0 * vdot0 + v0n2
+            dplan = jnp.sqrt(jnp.maximum(dv2 - (hs[i] - h0) ** 2, 0.0))
+            s_i = jnp.where(hs[i] < 2.0 * margin, dplan, neg)
+            take = s_i > b_s
+            b_s = jnp.where(take, s_i, b_s)
+            b_v1 = tuple(jnp.where(take, float(verts[i, c]), b_v1[c])
+                         for c in range(3))
+            b_h1 = jnp.where(take, hs[i], b_h1)
+        d1, v1, h1 = b_s, b_v1, b_h1
+        a1 = a0 & (d1 >= theta2)
+        p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+
+        # slot 2: max perpendicular spread
+        u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+        inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+        dh = h1 - h0
+        t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1)
+                  for i in range(3))
+        perp = L.v3_cross(n, t)
+        gq = L.mat_tvec(gmat, perp)
+        v0gq = L.v3_dot(v0, gq)
+        b_s = neg
+        b_v2 = tuple(jnp.zeros_like(h0) for _ in range(3))
+        b_h2 = jnp.zeros_like(h0)
+        for i in range(V):
+            cdot = (float(verts[i, 0]) * gq[0] + float(verts[i, 1]) * gq[1]
+                    + float(verts[i, 2]) * gq[2])
+            s_i = jnp.where(hs[i] < 2.0 * margin, jnp.abs(cdot - v0gq), neg)
+            take = s_i > b_s
+            b_s = jnp.where(take, s_i, b_s)
+            b_v2 = tuple(jnp.where(take, float(verts[i, c]), b_v2[c])
+                         for c in range(3))
+            b_h2 = jnp.where(take, hs[i], b_h2)
+        c2, v2, h2 = b_s, b_v2, b_h2
+        a2 = a1 & (c2 >= theta3)
+        p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+
+        for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+            pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
+            slots.append((pos, hi, ai & (hi < inc), level, g0))
     return slots
 
 
 class _Rows(NamedTuple):
     lim_sign: tuple  # [level] (4, B)
     slot_J: tuple  # per slot: (Jn_free [6 of (4,B)], Jn_leg [3 of (4,B)],
-    #                            Jt1_..., Jt2_...)
-    mu: float
+    #                            Jt1_..., Jt2_...); levels above the
+    #                            contact body's level are static 0.0
+    slot_mu: tuple  # friction coefficient per contact slot
     aref: jnp.ndarray  # (ngroups, 4, B): 3 limit groups + 4*nslot facets
     D: jnp.ndarray
 
@@ -797,14 +827,14 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
         lim_sign.append(sign)
 
     # ---- contact slots ----
-    g0 = ls.foot_geoms[0]
-    foot_b0 = ls.leg_bodies[NLEV - 1][0]
-    # DomainParams.friction: per-sample tangential coefficient (the
-    # impedance weights below keep the nominal compile-time invweights,
-    # matching MuJoCo's compile-time solref/solimp referencing)
-    mu = _f(m.col_friction[g0][0]) if friction is None else friction
-    slot_J = []
-    for (pos, dist, active) in slots:
+    slot_J, slot_mu = [], []
+    for (pos, dist, active, level, g0) in slots:
+        body0 = ls.leg_bodies[level][0]
+        # DomainParams.friction: per-sample tangential coefficient applied
+        # uniformly to every ground-contact group (the impedance weights
+        # below keep the nominal compile-time invweights, matching
+        # MuJoCo's compile-time solref/solimp referencing)
+        mu = _f(m.col_friction[g0][0]) if friction is None else friction
         rel = L.v3_sub(pos, kin.origin)  # (4, B) Vec3
 
         def proj_rows(S_rows):
@@ -818,16 +848,21 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
             return Jn, Jt1, Jt2
 
         Jn_f, Jt1_f, Jt2_f = proj_rows(S_free)
-        Jn_l, Jt1_l, Jt2_l = proj_rows(S_leg)
-        J = (tuple(Jn_f), tuple(Jn_l), tuple(Jt1_f), tuple(Jt1_l),
-             tuple(Jt2_f), tuple(Jt2_l))
+        # joints BELOW the contact body on the chain do not move it:
+        # their Jacobian entries are identically zero (static — they fold
+        # out of every downstream product)
+        Jn_l, Jt1_l, Jt2_l = proj_rows(S_leg[: level + 1])
+        pad = [0.0] * (NLEV - 1 - level)
+        J = (tuple(Jn_f), tuple(Jn_l + pad), tuple(Jt1_f),
+             tuple(Jt1_l + pad), tuple(Jt2_f), tuple(Jt2_l + pad))
         slot_J.append(J)
+        slot_mu.append(mu)
 
         margin = _f(m.col_margin[g0] - m.col_gap[g0])
         r = dist - margin
         imp = _imp_lane(_impedance_np_params(m.col_solimp[g0]), r)
         K, B = _kb_from_solref(m.col_solref[g0], m.col_solimp[g0])
-        diagA = 2.0 * _f(m.body_invweight0[foot_b0][0]) * (1.0 + mu * mu)
+        diagA = 2.0 * _f(m.body_invweight0[body0][0]) * (1.0 + mu * mu)
         R = jnp.maximum((1.0 - imp) / imp * diagA, 1e-15)
         Dslot = jnp.where(active, 1.0 / R, 0.0)
         # facet velocities J_facet . qvel
@@ -849,7 +884,7 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
     return _Rows(
         lim_sign=tuple(lim_sign),
         slot_J=tuple(slot_J),
-        mu=mu,
+        slot_mu=tuple(slot_mu),
         aref=jnp.stack([L.as_lane(x, like) for x in aref_rows]),
         D=jnp.stack([L.as_lane(x, like) for x in D_rows]),
     )
@@ -858,8 +893,7 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
 def _rows_matvec(rows: _Rows, x_free, x_leg) -> jnp.ndarray:
     """J x -> (ngroups, 4, B)."""
     out = [rows.lim_sign[k] * x_leg[k] for k in range(NLEV)]
-    mu = rows.mu
-    for J in rows.slot_J:
+    for J, mu in zip(rows.slot_J, rows.slot_mu):
         vn, v1, v2 = 0.0, 0.0, 0.0
         for i in range(6):
             vn = L.add(vn, L.mul(J[0][i], x_free[i]))
@@ -879,8 +913,7 @@ def _rows_tmatvec(rows: _Rows, y: jnp.ndarray):
     """Jᵀ y -> (list of 6 (B,), list of NLEV (4, B))."""
     y_free = [0.0] * 6
     y_leg = [rows.lim_sign[k] * y[k] for k in range(NLEV)]
-    mu = rows.mu
-    for s, J in enumerate(rows.slot_J):
+    for s, (J, mu) in enumerate(zip(rows.slot_J, rows.slot_mu)):
         r0 = NLEV + 4 * s
         yn = y[r0] + y[r0 + 1] + y[r0 + 2] + y[r0 + 3]
         y1 = mu * (y[r0] - y[r0 + 1])
@@ -905,8 +938,7 @@ def _add_jwj(Mff, Mfl, Mll, rows: _Rows, w: jnp.ndarray):
     Hff, Hfl, Hll = dict(Mff), dict(Mfl), dict(Mll)
     for k in range(NLEV):  # limit rows: sign^2 == 1, per-leg diagonal
         Hll[(k, k)] = Hll[(k, k)] + w[k]
-    mu = rows.mu
-    for s, J in enumerate(rows.slot_J):
+    for s, (J, mu) in enumerate(zip(rows.slot_J, rows.slot_mu)):
         r0 = NLEV + 4 * s
         w1, w2, w3, w4 = w[r0], w[r0 + 1], w[r0 + 2], w[r0 + 3]
         cnn = w1 + w2 + w3 + w4

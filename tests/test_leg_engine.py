@@ -100,6 +100,45 @@ def test_leg_trajectory_matches_lane(m):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_leg_full_plant_matches_lane_eager():
+    """The generalized collision grouping (feet + shins + ankle servos =
+    3 per-leg-identical groups, incl. two groups on one body and a
+    level-1 contact whose ankle-joint Jacobian must be zero) matches the
+    arbitrary-geom lane engine. Eager: no multi-minute XLA compiles for
+    the one-off full-plant program."""
+    from quadruped_gym_tpu.ops import leg_engine
+
+    m = spec.get_model(collision_geom_prefixes=spec.MPC_COLLISION_PREFIXES)
+    assert leg_engine.is_compatible(m)
+    levels = [lv for lv, _ in leg_engine._leg_static(m).col_groups]
+    assert sorted(levels) == [1, 2, 2]
+
+    st = engine.make_state(m, dtype=jnp.float64)
+    B = 3
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    qpos = st.qpos[None] + 0.05 * jax.random.normal(k1, (B, m.nq), jnp.float64)
+    qpos = qpos.at[:, 2].set(0.03)  # press into the ground: contacts active
+    qvel = st.qvel[None] + 0.1 * jax.random.normal(k2, (B, m.nv), jnp.float64)
+    act = jnp.tile(jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1))
+    ls = lane_engine.from_batched(
+        qpos, qvel, act, jnp.zeros(B, jnp.float64),
+        jnp.zeros((B, m.nsensordata), jnp.float64),
+    )
+    ctrl = jnp.tile(jnp.asarray(np.array([0.1, -0.1, -0.5] * 4)), (B, 1)).T
+
+    ref = lane_engine.step(m, ls, ctrl, solver_iterations=8, ls_iterations=12)
+    got = leg_engine.step(m, ls, ctrl, solver_iterations=8, ls_iterations=12)
+    smooth = leg_engine.step(m, ls, ctrl, solver_iterations=0)
+    assert float(jnp.max(jnp.abs(ref.qvel - smooth.qvel))) > 1e-3  # contact on
+    np.testing.assert_allclose(np.asarray(got.qpos), np.asarray(ref.qpos),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.qvel), np.asarray(ref.qvel),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.sensordata),
+                               np.asarray(ref.sensordata),
+                               rtol=1e-8, atol=1e-9)
+
+
 def test_leg_rollout_cost_consistent_with_lane():
     """Leg-engine rollout scoring tracks the lane engine on the planning
     model (identical math, different op grouping)."""

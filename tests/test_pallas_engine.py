@@ -101,6 +101,31 @@ def test_fused_rollout_cost_matches_leg_path(m, grounded):
                                rtol=1e-8, atol=1e-8)
 
 
+def test_pallas_full_plant_matches_leg_engine():
+    """The kernel on the fast-plant model (3 collision groups, decimated
+    hulls) matches the leg engine, contacts active (interpret mode)."""
+    fp = spec.get_fast_plant_model()
+    B = 16
+    st = engine.make_state(fp, dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    qpos = st.qpos[None] + 0.02 * jax.random.normal(k1, (B, fp.nq), jnp.float64)
+    qpos = qpos.at[:, 2].set(0.03)
+    qvel = st.qvel[None] + 0.05 * jax.random.normal(k2, (B, fp.nv), jnp.float64)
+    act = jnp.tile(jnp.asarray(np.array([0.0, 0.0, -0.5] * 4)), (B, 1))
+    ls = lane_engine.from_batched(
+        qpos, qvel, act, jnp.zeros(B, jnp.float64),
+        jnp.zeros((B, fp.nsensordata), jnp.float64),
+    )
+    ctrl = jnp.tile(jnp.asarray(np.array([0.1, -0.1, -0.5] * 4)), (B, 1)).T
+
+    out = pallas_engine.step(fp, ls, ctrl, 4, 8, block=B, interpret=True)
+    ref = leg_engine.step(fp, ls, ctrl, 4, 8)
+    np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                               rtol=1e-12, atol=1e-13)
+
+
 def test_pallas_control_step_matches_leg_engine(m):
     B = 16
     ls = _states(m, B, jax.random.PRNGKey(4))
