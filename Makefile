@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: help test test-fast bench train eval dryrun example clean
+.PHONY: help test test-fast bench train eval dryrun example walk sweep clean
 
 help:
 	@echo "targets:"
@@ -16,6 +16,8 @@ help:
 	@echo "  eval      - evaluate runs/ppo policy under the fixed command"
 	@echo "  dryrun    - multi-chip sharding dry run on a virtual 8-device CPU mesh"
 	@echo "  example   - random-actuation rollout + joint-angle plot"
+	@echo "  walk      - closed-loop MPC walk (fused Pallas planner, TPU)"
+	@echo "  sweep     - domain-randomized scenario sweep (fused kernel, TPU)"
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -38,6 +40,12 @@ dryrun:
 
 example:
 	$(PY) examples/random_rollout.py
+
+walk:
+	$(PY) examples/closed_loop_walk.py
+
+sweep:
+	$(PY) examples/scenario_sweep.py
 
 clean:
 	rm -rf .jax_cache __pycache__ */__pycache__ plots videos runs
