@@ -5,12 +5,12 @@
 
 PY ?= python
 
-.PHONY: help test test-fast bench train eval dryrun example walk sweep clean
+.PHONY: help test test-all test-fast bench train eval dryrun example walk sweep clean
 
 help:
 	@echo "targets:"
-	@echo "  test      - full pytest suite (oracle parity + solvers + envs + RL)"
-	@echo "  test-fast - skip the slow lane-engine compile tests"
+	@echo "  test      - default suite (skips multi-minute compile tests; see test-all)"
+	@echo "  test-all  - full suite including the slow lane/leg/pallas compile tests"
 	@echo "  bench     - headline benchmark (H=50 MPC rollouts/s/chip, one JSON line)"
 	@echo "  train     - PPO training (runs/ppo); resume-safe"
 	@echo "  eval      - evaluate runs/ppo policy under the fixed command"
@@ -20,10 +20,12 @@ help:
 	@echo "  sweep     - domain-randomized scenario sweep (fused kernel, TPU)"
 
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
-test-fast:
-	$(PY) -m pytest tests/ -q --ignore=tests/test_lane_engine.py --ignore=tests/test_ilqr.py
+test-fast: test
 
 bench:
 	$(PY) bench.py

@@ -323,6 +323,11 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         self.ideal_position = np.zeros(3)
         self.ctrl_f_est = np.zeros(12, dtype=np.float32)
         self.ctrl_a_est = np.zeros(12, dtype=np.float32)
+        self.previous_ctrl = self.joint_centers.astype(np.float64)
+        self.previous_ctrl_cost = None
+        self._functional_reward = 0.0
+        self._functional_terminated = False
+        self._functional_components = {}
 
     def _partial_obs(self) -> bool:
         return False
@@ -358,6 +363,9 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         )
         self.ideal_position = np.zeros(3)
         self.info = {}
+        self._functional_reward = 0.0
+        self._functional_terminated = False
+        self._functional_components = {}
         self._sync_host()
         return self._obs_np(), self.info
 
@@ -370,11 +378,28 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         self._ctrl = np.asarray(out.state.applied_ctrl)
         self._sync_host()
         comps = np.asarray(out.reward_components)
-        self.info = {k: float(v) for k, v in zip(self.reward_keys, comps)}
+        self._functional_reward = float(out.reward)
+        self._functional_terminated = bool(out.terminated)
+        self._functional_components = {
+            k: float(v) for k, v in zip(self.reward_keys, comps)
+        }
+
+        # Reference contract (quadruped.py:169-178, inherited by every task
+        # env): reward = sum over the pluggable reward_fns dict, terminated =
+        # any(termination_fns). The default entries resolve to the functional
+        # core's fused composite (same weights/quirks, computed on device);
+        # user-supplied entries are evaluated host-side against the synced
+        # state, so custom rewards/terminations plugged into this env are
+        # honored exactly as in the reference README's headline usage.
+        total_reward = 0.0
+        self.info = {}
+        for _name, fn in self.reward_fns.items():
+            total_reward += float(fn())
+        terminated = any(bool(fn()) for fn in self.termination_fns.values())
         return (
             self._obs_np(out.obs),
-            float(out.reward),
-            bool(out.terminated),
+            total_reward,
+            terminated,
             False,
             self.info,
         )
@@ -384,6 +409,14 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         self.ideal_position = np.asarray(self._wstate.ideal_position)
         self.ctrl_f_est = np.asarray(self._wstate.est.f_est)
         self.ctrl_a_est = np.asarray(self._wstate.est.a_est)
+        # reference attributes backing control_cost (walking_quad.py:45-51),
+        # mirrored from the functional RewardCarry
+        self.previous_ctrl = np.asarray(self._wstate.rew.previous_ctrl)
+        self.previous_ctrl_cost = (
+            float(self._wstate.rew.ctrl_cost_ref)
+            if bool(self._wstate.rew.ctrl_cost_ref_set)
+            else None
+        )
 
     def _obs_np(self, obs=None):
         if obs is None:
@@ -400,18 +433,59 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
     def _vec3(self, adr):
         return self.data.sensordata[adr : adr + 3]
 
+    @staticmethod
+    def _unit_np(x):
+        n = np.linalg.norm(x)
+        return x / n if n > 0 else np.zeros_like(x)
+
     def ideal_position_cost(self):
         sl = self._sl()
         cur = self._vec3(sl.pos)
         return float(np.linalg.norm(cur[:2] - self.ideal_position[:2]))
 
+    def progress_direction_reward_global(self):
+        """walking_quad.py:175-179 (global linvel vs local command vector —
+        the reference compares against ``control_inputs.velocity``, not
+        ``global_velocity``)."""
+        sl = self._sl()
+        return float(
+            self._unit_np(self._vec3(sl.linvel)[:2])
+            @ self._unit_np(self.control_inputs.velocity[:2])
+        )
+
     def progress_direction_reward_local(self):
         sl = self._sl()
-        v = self._vec3(sl.vel)[:2]
-        c = self.control_inputs.velocity[:2]
         return float(
-            (v / np.linalg.norm(v)) @ (c / np.linalg.norm(c))
+            self._unit_np(self._vec3(sl.vel)[:2])
+            @ self._unit_np(self.control_inputs.velocity[:2])
         )
+
+    def progress_speed_reward_local(self):
+        """Effective (second) definition, walking_quad.py:204-211."""
+        sl = self._sl()
+        actual = float(np.linalg.norm(self._vec3(sl.vel)[:2]))
+        target = float(np.linalg.norm(self.control_inputs.velocity[:2]))
+        return actual - (target - actual) ** 2
+
+    def progress_speed_cost_global(self):
+        sl = self._sl()
+        d = float(np.linalg.norm(self._vec3(sl.linvel)[:2])) - float(
+            np.linalg.norm(self.control_inputs.velocity[:2])
+        )
+        return d * d
+
+    def progress_speed_cost_local(self):
+        sl = self._sl()
+        d = float(np.linalg.norm(self._vec3(sl.vel)[:2])) - float(
+            np.linalg.norm(self.control_inputs.velocity[:2])
+        )
+        return d * d
+
+    def progress_cost_local(self):
+        """walking_quad.py:222-229 (marked TEST in the reference)."""
+        sl = self._sl()
+        d = self._vec3(sl.vel)[:2] - self.control_inputs.velocity[:2]
+        return float(np.sum(np.square(d)))
 
     def heading_reward(self):
         sl = self._sl()
@@ -428,8 +502,37 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
     def joint_posture_cost(self):
         return float(np.linalg.norm((self.data.ctrl - self.joint_centers) / self.pm.nu))
 
+    def control_cost(self, alpha=0.8):
+        """walking_quad.py:255-270, against the functional carry's state.
+
+        The EMA reference value (``previous_ctrl_cost``) is the frozen
+        first-step cost, exactly the reference's quirk. Post-step this
+        matches the reference bit-for-bit: its in-step call already updated
+        ``previous_ctrl`` to the current ctrl, so a user's second call sees
+        diff == 0 — as does this read-only view of the carry."""
+        diff = self.data.ctrl - self.previous_ctrl
+        cost = float(np.sum(np.square(diff)))
+        ref = self.previous_ctrl_cost if self.previous_ctrl_cost is not None else cost
+        return alpha * ref + (1 - alpha) * cost
+
+    def control_frequency_cost(self, target_frequencies=(1.0, 1.0, 0.0)):
+        target = np.array(list(target_frequencies) * 4, dtype=np.float32)
+        return float(np.linalg.norm((self.ctrl_f_est - target) / self.pm.nu))
+
+    def control_amplitude_cost(self, target_amplitudes=(1.5, 0.5, 0.0)):
+        target = np.array(list(target_amplitudes) * 4, dtype=np.float32)
+        return float(np.linalg.norm((self.ctrl_a_est - target) / self.pm.nu))
+
     def alive_bonus(self):
         return 1
+
+    def input_control_reward(self):
+        """The composite reward (walking_quad.py:352-422). Returns the
+        functional core's fused on-device value for the current step (same
+        weights, EMA freeze, first-step-derivative quirks) and publishes the
+        per-component breakdown into ``self.info`` as the reference does."""
+        self.info = dict(self._functional_components)
+        return self._functional_reward
 
     def flip_termination(self):
         sl = self._sl()
@@ -439,10 +542,7 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         return self.flip_termination() or super()._default_termination()
 
     def _default_reward(self):
-        raise NotImplementedError(
-            "the composite reward is computed by the functional core; "
-            "override reward_fns for custom rewards"
-        )
+        return self.input_control_reward()
 
     # -- debug geoms (walking_quad.py:77-86) -----------------------------------
 

@@ -66,18 +66,32 @@ class _LegStatic:
     col_groups: Tuple[Tuple[int, Tuple[int, ...]], ...]
 
 
+class IncompatibleModelError(ValueError):
+    """The model violates a leg-batching structural invariant.
+
+    Raised (not ``assert``, which ``python -O`` strips) so an incompatible
+    model can never slip past the gate and silently get leg-0 parameters
+    broadcast onto all legs."""
+
+
+def _require(cond, msg: str) -> None:
+    if not cond:
+        raise IncompatibleModelError(msg)
+
+
 def _leg_static(m: PhysicsModel) -> _LegStatic:
     # cached ON the model (object.__setattr__ works on frozen dataclasses):
     # an id()-keyed dict could return stale topology for a new model that
     # reuses a garbage-collected model's address — and thereby skip the
-    # compatibility asserts below entirely
+    # compatibility checks below entirely
     cached = getattr(m, "_leg_static_cache", None)
     if cached is not None:
         return cached
     base = next(b for b in range(1, m.nbody) if m.body_parentid[b] == 0)
-    assert m.jnt_type[m.body_jntadr[base]] == JNT_FREE
+    _require(m.jnt_type[m.body_jntadr[base]] == JNT_FREE,
+             "base joint is not free")
     hips = [b for b in range(1, m.nbody) if m.body_parentid[b] == base]
-    assert len(hips) == NLEG, f"expected 4 legs, got {len(hips)}"
+    _require(len(hips) == NLEG, f"expected 4 legs, got {len(hips)}")
     legs = []
     for h in hips:
         chain = [h]
@@ -85,9 +99,9 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
             kids = [b for b in range(1, m.nbody) if m.body_parentid[b] == chain[-1]]
             if not kids:
                 break
-            assert len(kids) == 1
+            _require(len(kids) == 1, "leg chain branches")
             chain.append(kids[0])
-        assert len(chain) == NLEV
+        _require(len(chain) == NLEV, "leg chain is not hip/knee/ankle")
         legs.append(chain)
     leg_bodies = tuple(tuple(legs[l][k] for l in range(NLEG)) for k in range(NLEV))
     leg_joints = tuple(
@@ -97,49 +111,51 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
     for k in range(NLEV):
         for field in ("body_mass", "body_inertia", "body_ipos", "body_iquat"):
             vals = np.asarray(getattr(m, field))[list(leg_bodies[k])]
-            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+            _require(np.allclose(vals, vals[0]), f"{field} differs across legs")
         for field in ("jnt_pos", "jnt_axis", "jnt_range", "jnt_solref",
                       "jnt_solimp", "jnt_margin"):
             vals = np.asarray(getattr(m, field))[list(leg_joints[k])]
-            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+            _require(np.allclose(vals, vals[0]), f"{field} differs across legs")
         if k > 0:
             for field in ("body_pos", "body_quat"):
                 vals = np.asarray(getattr(m, field))[list(leg_bodies[k])]
-                assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+                _require(np.allclose(vals, vals[0]), f"{field} differs across legs")
         # dof layout: leg-major, consecutive
         for l in range(NLEG):
-            assert m.jnt_dofadr[leg_joints[k][l]] == 6 + 3 * l + k
-            assert m.jnt_qposadr[leg_joints[k][l]] == 7 + 3 * l + k
-        assert all(m.jnt_limited[j] for j in leg_joints[k])
+            _require(m.jnt_dofadr[leg_joints[k][l]] == 6 + 3 * l + k,
+                     "dof layout is not leg-major consecutive")
+            _require(m.jnt_qposadr[leg_joints[k][l]] == 7 + 3 * l + k,
+                     "qpos layout is not leg-major consecutive")
+        _require(all(m.jnt_limited[j] for j in leg_joints[k]),
+                 "leg joints must all be limited")
     # shared-constant invariants the engine's leg-0-parameter broadcast
     # relies on (it reads each quantity once per level, or once globally)
     for k in range(NLEV):
         q0s = [m.qpos0[m.jnt_qposadr[j]] for j in leg_joints[k]]
-        assert np.allclose(q0s, q0s[0]), "qpos0 differs across legs"
+        _require(np.allclose(q0s, q0s[0]), "qpos0 differs across legs")
         iw = [m.dof_invweight0[m.jnt_dofadr[j]] for j in leg_joints[k]]
-        assert np.allclose(iw, iw[0]), "dof_invweight0 differs across legs"
+        _require(np.allclose(iw, iw[0]), "dof_invweight0 differs across legs")
     leg_dofs = [m.jnt_dofadr[leg_joints[k][l]]
                 for k in range(NLEV) for l in range(NLEG)]
     for field in ("dof_armature", "dof_damping"):
         vals = [np.asarray(getattr(m, field))[d] for d in leg_dofs]
-        assert np.allclose(vals, vals[0]), f"{field} differs across leg dofs"
+        _require(np.allclose(vals, vals[0]), f"{field} differs across leg dofs")
     # actuator layout: u = 3l+k drives leg l's level-k joint, and all
     # actuators of a level share their parameters (dynprm globally: the
     # activation filter uses one shared tau)
-    assert m.nu == NLEG * NLEV
+    _require(m.nu == NLEG * NLEV, "expected 12 actuators")
     for k in range(NLEV):
         for l in range(NLEG):
-            assert m.actuator_trnid[3 * l + k] == leg_joints[k][l], (
-                "actuator order is not leg-major"
-            )
+            _require(m.actuator_trnid[3 * l + k] == leg_joints[k][l],
+                     "actuator order is not leg-major")
         us = [3 * l + k for l in range(NLEG)]
         for field in ("actuator_gainprm", "actuator_biasprm",
                       "actuator_gear", "actuator_forcerange",
                       "actuator_ctrlrange"):
             vals = np.asarray(getattr(m, field))[us]
-            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+            _require(np.allclose(vals, vals[0]), f"{field} differs across legs")
     dyn = np.asarray(m.actuator_dynprm)
-    assert np.allclose(dyn, dyn[0]), "actuator_dynprm differs across actuators"
+    _require(np.allclose(dyn, dyn[0]), "actuator_dynprm differs across actuators")
 
     # collision: every geom must live on a leg body, and the geoms of
     # each level must form per-leg identical quadruples (one group per
@@ -153,23 +169,23 @@ def _leg_static(m: PhysicsModel) -> _LegStatic:
     for k in range(NLEV):
         per_leg = [sorted(geoms_by_body.get(b, [])) for b in leg_bodies[k]]
         counts = {len(x) for x in per_leg}
-        assert len(counts) == 1, f"uneven geom counts across legs, level {k}"
+        _require(len(counts) == 1, f"uneven geom counts across legs, level {k}")
         for j in range(counts.pop()):
             group = tuple(per_leg[l][j] for l in range(NLEG))
             col_groups.append((k, group))
             grouped += NLEG
-    assert grouped == len(m.col_geom_bodyid), (
-        "collision geoms outside the leg chains are not supported"
-    )
+    _require(grouped == len(m.col_geom_bodyid),
+             "collision geoms outside the leg chains are not supported")
     for _, group in col_groups:
         for field in ("col_geom_pos", "col_geom_quat", "col_friction",
                       "col_solref", "col_solimp", "col_margin", "col_gap",
                       "col_theta2", "col_theta3"):
             vals = np.asarray(getattr(m, field))[list(group)]
-            assert np.allclose(vals, vals[0]), f"{field} differs across legs"
+            _require(np.allclose(vals, vals[0]), f"{field} differs across legs")
         for g in group[1:]:
-            assert np.array_equal(m.col_hull_verts[g],
-                                  m.col_hull_verts[group[0]])
+            _require(np.array_equal(m.col_hull_verts[g],
+                                    m.col_hull_verts[group[0]]),
+                     "collision hulls differ across legs")
     s = _LegStatic(
         base=base,
         leg_bodies=leg_bodies,
@@ -1041,7 +1057,7 @@ def _newton_solve(m, Mff, Mfl, Mll, rows: _Rows, qa_free, qa_leg,
 def _sensors(m: PhysicsModel, kin: _Kin, v_base, cacc_base, q_free, q_leg):
     b = m.site_bodyid
     ls = _leg_static(m)
-    assert b == ls.base
+    _require(b == ls.base, "IMU site must live on the base body")
     spos = L.v3_add(kin.base_pos, L.mat_vec(kin.base_mat, _v3c(m.site_pos)))
     smat = L.mat_mul(
         kin.base_mat,

@@ -85,16 +85,32 @@ def quat_integrate(q: jnp.ndarray, omega_local: jnp.ndarray, dt) -> jnp.ndarray:
     """Integrate quaternion by angular velocity expressed in the local frame
     over dt, matching MuJoCo's mju_quatIntegrate (exact exponential map).
 
-    AD-safe at omega == 0: the norm is computed through a where-guard so the
-    gradient (needed by iLQR's cost expansion through state_add) is finite."""
+    AD-correct at omega == 0: the exponential map is evaluated through a
+    Taylor/sinc guard so ``d(dq_vec)/d(omega) == 0.5*dt*I`` there (the true
+    Jacobian).  A naive axis/angle where-guard makes that Jacobian identically
+    zero, which silently erases orientation/heading/flip cost gradients from
+    iLQR's cost expansion and SQP's condensed QP (both quadratize at dx == 0
+    through ``state_add`` -> here).  See ``tests/test_maths.py``.
+
+    The guard only activates where ``|omega|*dt/2 < 1e-9``, a region where
+    ``sin(x) == x`` and ``cos(x) == 1.0`` bitwise in both f32 and f64 — so
+    primal values are unchanged vs. the exact branch (MuJoCo bit-parity in the
+    contact-settle tests is preserved); only the AD Jacobian differs."""
     n2 = jnp.sum(omega_local * omega_local, axis=-1)
-    nonzero = n2 > 0.0
-    angle = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
-    safe = jnp.maximum(angle, 1e-30)
-    axis = omega_local / safe[..., None]
-    dq = axis_angle_to_quat(axis, angle * dt)
-    out = quat_mul(q, dq)
-    return quat_normalize(out)
+    small = n2 * (dt * dt) < 4e-18
+    # Double-where: the untaken exact branch divides by sqrt(1.0), keeping its
+    # (discarded) gradient finite so 0 * grad stays 0, never 0 * nan.
+    angle = jnp.sqrt(jnp.where(small, 1.0, n2))
+    half = 0.5 * dt * angle
+    axis = omega_local / angle[..., None]
+    vec = jnp.where(
+        small[..., None],
+        omega_local * (0.5 * dt),
+        axis * jnp.sin(half)[..., None],
+    )
+    w = jnp.where(small, 1.0, jnp.cos(half))
+    dq = jnp.concatenate([w[..., None], vec], axis=-1)
+    return quat_normalize(quat_mul(q, dq))
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:

@@ -69,7 +69,10 @@ class UpdateMetrics(NamedTuple):
     vf_loss: jnp.ndarray
     entropy: jnp.ndarray
     approx_kl: jnp.ndarray
-    reward_components: jnp.ndarray  # (11,) means over the rollout
+    # (num_steps, 11): one row per policy step, averaged over the env batch —
+    # the reference's CSV granularity (RewardCallback._on_step averages each
+    # component over its 10 envs every vec-env step, train_quadruped.py:86-110)
+    reward_components: jnp.ndarray
 
 
 def _optimizer(cfg: PPOConfig):
@@ -250,7 +253,7 @@ def update_fn(
             vf_loss=vf,
             entropy=ent,
             approx_kl=kl,
-            reward_components=jnp.mean(traj.reward_components, axis=(0, 1)),
+            reward_components=jnp.mean(traj.reward_components, axis=1),
         )
         new_ts = TrainState(
             params=params,

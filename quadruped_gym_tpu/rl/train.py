@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dashboard", action="store_true",
                    help="serve live metrics on :8050")
+    p.add_argument("--no-eval", action="store_true",
+                   help="skip the per-iteration eval rollout")
+    p.add_argument("--no-eval-video", action="store_true",
+                   help="eval without recording videos/run_{i}.mp4")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all devices (and hosts "
                         "when launched under jax.distributed)")
@@ -126,8 +130,12 @@ def main(argv=None):
         jax.block_until_ready(ts.params)
         dt = time.perf_counter() - t0
         steps_done = updates_per_iter * cfg.batch_size
-        comp = np.asarray(history.reward_components)  # (updates, 11)
-        logger.log_many(it * updates_per_iter, comp)
+        # (updates, num_steps, 11) -> one CSV row per policy step averaged
+        # over the env batch — the reference's granularity (:86-110)
+        comp = np.asarray(history.reward_components).reshape(
+            -1, len(REWARD_KEYS)
+        )
+        logger.log_many(it * updates_per_iter * cfg.num_steps, comp)
         logger.flush()  # the native writer thread drains asynchronously
         checkpoint.save(ckpt_dir, ts, step=it + 1)
 
@@ -148,6 +156,37 @@ def main(argv=None):
             allcomp, keys,
             os.path.join(out, "plots", f"reward_components_{it}.html"),
         )
+
+        # per-iteration eval rollout + video (train_quadruped.py:171-193):
+        # a fresh single env under the fixed 0.2 m/s command, deterministic
+        # policy, recorded to videos/run_{it}.mp4; walking-quality metrics
+        # (tracking error, uprightness, survival) appended to JSONL
+        if not args.no_eval:
+            from . import evaluate as eval_mod
+
+            os.makedirs(os.path.join(out, "videos"), exist_ok=True)
+            em = eval_mod.eval_rollout(
+                jax.device_get(ts.params),
+                obs_window=args.obs_window,
+                max_time=args.max_time,
+                frame_skip=args.frame_skip,
+                partial_obs=not args.full_obs,
+                save_video=not args.no_eval_video,
+                video_path=os.path.join(out, "videos", f"run_{it}.mp4"),
+                seed=args.seed + it,
+            )
+            em.pop("rewards")
+            em["iteration"] = it
+            with open(os.path.join(out, "logs", "eval_metrics.jsonl"), "a") as f:
+                import json
+
+                f.write(json.dumps(em) + "\n")
+            print(
+                f"  eval: return {em['episode_return']:.1f}, "
+                f"{em['steps']} steps, survived={em['survived']}, "
+                f"track_err {em['mean_tracking_error']:.3f} m/s, "
+                f"upright {em['mean_uprightness']:.3f}"
+            )
 
     logger.close()
     print("done")

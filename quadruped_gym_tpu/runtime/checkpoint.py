@@ -2,9 +2,11 @@
 
 The reference persists a policy zip + a plain-text step counter each
 iteration (``train_quadruped.py:114-141``). Here any pytree (MPC carries,
-PPO train state, estimator carries) checkpoints through Orbax when
-available, with a numpy ``.npz`` fallback so checkpointing never becomes an
-optional feature.
+PPO train state, estimator carries) checkpoints to a single numpy ``.npz``
+plus a JSON treedef sidecar — dependency-free, atomic (write-then-rename),
+and sufficient for single-controller training at this scale. (Orbax would
+buy async / multi-host sharded checkpointing; not used — every array in
+these train states is replicated and small.)
 """
 
 from __future__ import annotations
@@ -23,14 +25,23 @@ def _flatten(tree: Any):
 
 
 def save(path: str, tree: Any, step: Optional[int] = None) -> None:
-    """Save a pytree. Directory layout: <path>/state.npz + meta.json."""
+    """Save a pytree. Directory layout: <path>/state.npz + meta.json.
+
+    Atomic: both files are written to temporaries and renamed into place
+    (state first, meta last), so a crash mid-save can never leave a
+    restore-able meta.json pointing at a torn state.npz — crash resume
+    (rl/train.py) always sees the last complete checkpoint."""
     os.makedirs(path, exist_ok=True)
     leaves, _ = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez(os.path.join(path, "state.npz"), **arrays)
+    tmp_state = os.path.join(path, ".state.npz.tmp")
+    np.savez(tmp_state, **arrays)
+    os.replace(tmp_state, os.path.join(path, "state.npz"))
     meta = {"num_leaves": len(leaves), "step": step}
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    tmp_meta = os.path.join(path, ".meta.json.tmp")
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(path, "meta.json"))
 
 
 def restore(path: str, example_tree: Any):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,16 +100,39 @@ def exp_dist(x):
     return jnp.exp(x) - 1.0
 
 
+# Below this speed the direction of a velocity vector is numerically
+# meaningless; the unit() Jacobian is zeroed there instead of blowing up as
+# 1/|x| (iLQR/SQP quadratize the stage cost through unit()).
+_UNIT_GRAD_EPS = 1e-6
+
+
+@jax.custom_jvp
 def unit(x, eps=0.0):
     """math_utils.py:7-8 (reference divides by the raw norm; a zero vector
     yields NaN there — we guard with a tiny epsilon only to stay finite,
-    which matches wherever the reference is well-defined). The norm goes
-    through a where-guard so the *gradient* is also finite at x == 0
-    (iLQR differentiates the stage cost through this)."""
+    which matches wherever the reference is well-defined).
+
+    The primal is exactly the round-1 where-guarded form (parity tests rely
+    on it bitwise); the JVP is overridden to the true projection Jacobian
+    ``(I - u u^T)/|x|`` for |x| > _UNIT_GRAD_EPS and zero below, so cost
+    quadratization near x == 0 gets 0 instead of ~1e30 garbage entries."""
     n2 = jnp.sum(x * x)
     nonzero = n2 > 0.0
     n = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
     return x / jnp.maximum(n, 1e-30)
+
+
+@unit.defjvp
+def _unit_jvp(primals, tangents):
+    x, _eps = primals
+    dx, _ = tangents
+    n2 = jnp.sum(x * x)
+    big = n2 > _UNIT_GRAD_EPS * _UNIT_GRAD_EPS
+    n = jnp.sqrt(jnp.where(big, n2, 1.0))
+    u = x / n
+    jdx = (dx - u * jnp.sum(u * dx)) / n
+    jdx = jnp.where(big, jdx, jnp.zeros_like(jdx))
+    return unit(x), jdx
 
 
 # --- primitives (all take the 33-dim sensordata of the *current* obs) ---

@@ -119,11 +119,16 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
-def launch_dash(csv_file_path: str, host: str = "0.0.0.0", port: int = 8050,
+def launch_dash(csv_file_path: str, host: str = "127.0.0.1", port: int = 8050,
                 block: bool = True):
     """Serve the live dashboard (same entry point name as the reference,
     ``server.py:12``). With block=False, runs in a daemon thread and
-    returns the server object."""
+    returns the server object.
+
+    Unlike the reference (which binds 0.0.0.0:8050, ``server.py:344``), the
+    default bind is loopback-only — the dashboard exposes the contents of an
+    arbitrary CSV with no auth, so all-interfaces exposure must be an
+    explicit opt-in via ``host="0.0.0.0"``."""
     handler = type("Handler", (_Handler,), {"csv_path": csv_file_path})
     srv = ThreadingHTTPServer((host, port), handler)
     if block:

@@ -10,6 +10,8 @@ from quadruped_gym_tpu.physics import engine
 from quadruped_gym_tpu.solvers import ilqr, rollout
 from quadruped_gym_tpu.tasks import commands
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; `make test` skips
+
 
 @pytest.fixture(scope="module")
 def m():

@@ -14,6 +14,8 @@ from quadruped_gym_tpu.models import spec
 from quadruped_gym_tpu.ops import lane_engine
 from quadruped_gym_tpu.physics import engine
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; `make test` skips
+
 
 @pytest.fixture(scope="module")
 def m():

@@ -20,6 +20,8 @@ from quadruped_gym_tpu.envs import vector_env
 from quadruped_gym_tpu.models import spec
 from quadruped_gym_tpu.tasks import walking
 
+pytestmark = pytest.mark.slow  # multi-minute XLA compile; `make test` skips
+
 B = 4
 
 
