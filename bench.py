@@ -32,12 +32,32 @@ import numpy as np  # noqa: E402
 BASELINE_ROLLOUTS_PER_S = 100_000.0
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--plant", choices=("planning", "full"), default="planning",
+        help="planning: feet-only decimated hulls at the quality-validated "
+        "2/4 newton/linesearch budget (headline). full: the full lower-leg "
+        "collision plant (feet+shins+ankle servos) at the conservative 4/8 "
+        "budget.",
+    )
+    ap.add_argument("--block", type=int, default=None,
+                    help="Pallas batch tile (default: engine default)")
+    args = ap.parse_args(argv)
+
     from quadruped_gym_tpu.models import spec
     from quadruped_gym_tpu.physics import engine
     from quadruped_gym_tpu.solvers import rollout
 
-    m = spec.get_planning_model()
+    full_plant = args.plant == "full"
+    m = spec.get_fast_plant_model() if full_plant else spec.get_planning_model()
+    newton, ls = (4, 8) if full_plant else (2, 4)
+    metric = (
+        "mpc_rollouts_per_s_per_chip_H50_full_plant" if full_plant
+        else "mpc_rollouts_per_s_per_chip_H50"
+    )
     cfg = rollout.RolloutConfig(horizon=50, frame_skip=5)
     # rollouts per solve: large enough to amortize the ~30 ms axon-tunnel
     # round trip per dispatch (device-side cost is ~5 ms per 1024 lanes;
@@ -50,11 +70,14 @@ def main():
     cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
     prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float32)
 
+    kw = {} if args.block is None else {"block": args.block}
+
     @jax.jit
     def score(seqs):
         return rollout.lane_batched_rollout_cost(
             m, cfg, cost_fn, state, seqs, cmd, prev,
-            newton_iterations=2, ls_iterations=4, engine_impl="fused",
+            newton_iterations=newton, ls_iterations=ls, engine_impl="fused",
+            **kw,
         )
 
     # distinct control batches per timed iteration: the axon TPU tunnel
@@ -86,7 +109,7 @@ def main():
 
     rps = S * iters / dt
     print(json.dumps({
-        "metric": "mpc_rollouts_per_s_per_chip_H50",
+        "metric": metric,
         "value": round(rps, 1),
         "unit": "rollouts/s",
         "vs_baseline": round(rps / BASELINE_ROLLOUTS_PER_S, 4),

@@ -40,13 +40,16 @@ def main(num_scenarios: int = 16384):
     S = num_scenarios
     key = jax.random.PRNGKey(int(time.time()))
     k_dp, k_seq = jax.random.split(key)
-    # every rollout is its own world: friction, gains, payload, slope
+    # every rollout is its own world: friction, gains, payload, slope,
+    # and rough terrain (per-scenario bump field amplitude/wavelength —
+    # distinct contact geometry per scenario, BASELINE config 5)
     dp = spec.sample_domain_params(
         k_dp, S,
         friction_range=(0.3, 0.9),
         gain_range=(0.7, 1.3),
         mass_range=(0.8, 1.8),
         tilt_range=(-0.2, 0.2),
+        terrain_amp_range=(0.0, 0.02),
     )
     seqs = jnp.clip(
         prev[None, None]
@@ -83,6 +86,10 @@ def main(num_scenarios: int = 16384):
     lo_t, hi_t = tilt < np.median(tilt), tilt >= np.median(tilt)
     print(f"gentle-slope half mean cost {costs[lo_t].mean():.1f} vs "
           f"steep-slope {costs[hi_t].mean():.1f}")
+    amp = np.asarray(dp.terrain_amp)
+    lo_a, hi_a = amp < np.median(amp), amp >= np.median(amp)
+    print(f"smooth-terrain half mean cost {costs[lo_a].mean():.1f} vs "
+          f"rough-terrain {costs[hi_a].mean():.1f}")
 
 
 if __name__ == "__main__":

@@ -27,8 +27,130 @@ except Exception:  # pragma: no cover
     HAVE_CV2 = False
 
 
+class WireframeRenderer:
+    """Dependency-free software renderer: pinhole projection + cv2 lines.
+
+    Fallback when no GL backend exists (headless containers without
+    EGL/OSMesa): draws the ground grid, the robot's kinematic tree as a
+    colored skeleton, foot markers, and the env's debug arrows/points —
+    enough to SEE a gait in the recorded mp4, which is the point of the
+    reference's eval videos (train_quadruped.py:171-193)."""
+
+    FOVY = 45.0
+
+    def __init__(self, model, width: int, height: int):
+        self.model = model
+        self.width = width
+        self.height = height
+        # precompute kinematic-tree edges (parent body -> body)
+        self.edges = [
+            (int(model.body_parentid[b]), b)
+            for b in range(1, model.nbody)
+            if model.body_parentid[b] != 0 or True
+        ]
+        import mujoco
+
+        self._foot_geoms = [
+            g for g in range(model.ngeom)
+            if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH
+            and "foot" in (model.geom(g).name or "")
+        ]
+
+    def _camera_frame(self, camera):
+        az = np.radians(camera.azimuth)
+        el = np.radians(camera.elevation)
+        fwd = np.array([
+            np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)
+        ])
+        lookat = np.asarray(camera.lookat, np.float64)
+        pos = lookat - camera.distance * fwd
+        z = fwd / np.linalg.norm(fwd)  # camera looks along +z_cam
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up)  # screen right
+        n = np.linalg.norm(x)
+        x = x / (n if n > 1e-9 else 1.0)
+        y = np.cross(z, x)  # screen DOWN (right-handed with z forward)
+        R = np.stack([x, y, z])  # world -> cam rows
+        return R, pos
+
+    def _project(self, R, campos, pts):
+        pc = (np.atleast_2d(pts) - campos) @ R.T
+        f = 0.5 * self.height / np.tan(np.radians(self.FOVY) / 2)
+        zs = np.maximum(pc[:, 2], 1e-3)
+        u = self.width / 2 + f * pc[:, 0] / zs
+        v = self.height / 2 + f * pc[:, 1] / zs  # y_cam already points down
+        valid = pc[:, 2] > 0.05
+        return np.stack([u, v], 1), valid
+
+    @staticmethod
+    def _c(color):
+        c = (np.clip(np.asarray(color, np.float64)[:3], 0, 1) * 255)
+        return int(c[2]), int(c[1]), int(c[0])  # BGR
+
+    def render(self, data, camera, extra=()):
+        img = np.full((self.height, self.width, 3), 250, np.uint8)
+        R, campos = self._camera_frame(camera)
+
+        def line(a, b, color, w=1):
+            p, ok = self._project(R, campos, np.stack([a, b]))
+            if ok.all():
+                cv2.line(img, tuple(p[0].astype(int)), tuple(p[1].astype(int)),
+                         color, w, cv2.LINE_AA)
+
+        # ground grid (0.1 m cells) around the camera target
+        cx, cy = np.round(np.asarray(camera.lookat[:2], np.float64), 1)
+        rng = np.arange(-0.5, 0.51, 0.1)
+        for g in rng:
+            line([cx + g, cy - 0.5, 0], [cx + g, cy + 0.5, 0], (210, 210, 210))
+            line([cx - 0.5, cy + g, 0], [cx + 0.5, cy + g, 0], (210, 210, 210))
+
+        # skeleton: one color per leg chain, black base
+        xpos = np.asarray(data.xpos)
+        leg_colors = [(180, 90, 30), (30, 90, 180), (30, 160, 30), (140, 30, 150)]
+        for parent, b in self.edges:
+            if parent == 0:
+                continue
+            # color by leg: bodies are laid out base, then 3 per leg
+            leg = (b - 2) // 3 if b >= 2 else -1
+            color = leg_colors[leg % 4] if leg >= 0 else (40, 40, 40)
+            line(xpos[parent], xpos[b], color, 2)
+
+        # base heading triad
+        xmat = np.asarray(data.xmat[1]).reshape(3, 3)
+        base = xpos[1]
+        line(base, base + 0.08 * xmat[:, 0], (0, 0, 220), 2)   # x: red
+        line(base, base + 0.08 * xmat[:, 2], (220, 80, 0), 2)  # z: blue
+
+        # feet markers
+        for g in self._foot_geoms:
+            p, ok = self._project(R, campos, np.asarray(data.geom_xpos[g]))
+            if ok[0]:
+                cv2.circle(img, tuple(p[0].astype(int)), 4, (30, 30, 30), -1,
+                           cv2.LINE_AA)
+
+        # debug geoms queued by render_vector/render_point
+        for item in extra:
+            if item[0] == "vec":
+                _, origin, endpoint, color = item
+                line(origin, endpoint, self._c(color), 2)
+            else:
+                _, pos, color, radius = item
+                p, ok = self._project(R, campos, np.asarray(pos, np.float64))
+                if ok[0]:
+                    cv2.circle(img, tuple(p[0].astype(int)), 5,
+                               self._c(color), -1, cv2.LINE_AA)
+
+        cv2.putText(img, f"t={data.time:6.2f}s  z={data.qpos[2]:.3f}",
+                    (8, 16), cv2.FONT_HERSHEY_SIMPLEX, 0.45, (60, 60, 60), 1,
+                    cv2.LINE_AA)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 class HostRenderer:
-    """Wraps mujoco.Renderer over a host mirror of the JAX state."""
+    """Wraps mujoco.Renderer over a host mirror of the JAX state.
+
+    Without a GL backend it degrades to the software ``WireframeRenderer``
+    instead of disabling rendering, so eval videos exist on any host."""
 
     def __init__(
         self,
@@ -93,6 +215,9 @@ class HostRenderer:
         mujoco = self._mujoco
         origin = np.asarray(origin, dtype=np.float64).copy() + np.array([0, 0, offset])
         endpoint = origin + np.asarray(vector, dtype=np.float64) * scale
+        if getattr(self, "_wire", None) is not None:
+            self._extra.append(("vec", origin, endpoint, color))
+            return
         scn = self.renderer.scene
         if scn.ngeom >= scn.maxgeom:
             return
@@ -109,6 +234,9 @@ class HostRenderer:
 
     def render_point(self, position, color, radius=0.01):
         mujoco = self._mujoco
+        if getattr(self, "_wire", None) is not None:
+            self._extra.append(("point", position, color, radius))
+            return
         scn = self.renderer.scene
         if scn.ngeom >= scn.maxgeom:
             return
@@ -135,9 +263,7 @@ class HostRenderer:
             return None
         self._frame_count += 1
 
-        if self.renderer is None:
-            if getattr(self, "_gl_failed", False):
-                return None
+        if self.renderer is None and getattr(self, "_wire", None) is None:
             try:
                 self.renderer = self._mujoco.Renderer(
                     self.model, width=self.width, height=self.height
@@ -146,22 +272,29 @@ class HostRenderer:
                 import warnings
 
                 warnings.warn(
-                    f"offscreen rendering unavailable (no GL backend): {e!r}; "
-                    "render() will return None",
+                    f"no GL backend ({e!r}); falling back to the software "
+                    "wireframe renderer",
                     RuntimeWarning,
                     stacklevel=2,
                 )
-                self._gl_failed = True
-                return None
+                self._wire = WireframeRenderer(
+                    self.model, self.width, self.height
+                )
 
         self.camera.lookat[:] = self.data.qpos[:3]
-        self.renderer.update_scene(
-            self.data, scene_option=self.scene_option, camera=self.camera
-        )
-        if custom_geoms is not None:
-            custom_geoms(self)
+        if getattr(self, "_wire", None) is not None:
+            self._extra = []
+            if custom_geoms is not None:
+                custom_geoms(self)
+            pixels = self._wire.render(self.data, self.camera, self._extra)
+        else:
+            self.renderer.update_scene(
+                self.data, scene_option=self.scene_option, camera=self.camera
+            )
+            if custom_geoms is not None:
+                custom_geoms(self)
 
-        pixels = self.renderer.render()
+            pixels = self.renderer.render()
         if (self.save_video and self.video_writer is not None) or mode == "human":
             if not HAVE_CV2:
                 raise RuntimeError("human mode / video requires OpenCV")

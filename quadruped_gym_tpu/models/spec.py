@@ -406,14 +406,24 @@ MPC_COLLISION_PREFIXES = ("foot", "shin", "ankle_servo")
 FEET_COLLISION_PREFIXES = ("foot",)
 
 
-def decimate_hulls(m: PhysicsModel, n_directions: int = 128) -> PhysicsModel:
+def decimate_hulls(
+    m: PhysicsModel,
+    n_directions: int = 128,
+    per_geom_directions: Optional[dict] = None,
+) -> PhysicsModel:
     """Planning-model hull decimation: keep only vertices that are argmax
     support points along ``n_directions`` Fibonacci-sphere directions.
 
     The plane-convex contact only ever touches hull *support* vertices, so
     this preserves contact geometry up to the support-function error of the
     dropped directions (sub-mm for these ~cm-scale feet). Intended for the
-    throughput planner; the oracle-parity engine keeps full hulls."""
+    throughput planner; the oracle-parity engine keeps full hulls.
+
+    ``per_geom_directions`` maps geom-name prefixes to coarser direction
+    counts (e.g. ``{"shin": 32}``): secondary contact geoms — which only
+    ground-contact in falls and slope extremes — can be decimated harder
+    than the feet, shrinking the unrolled vertex loops of the Mosaic
+    kernels where the vertex count is pure VPU time."""
     # Fibonacci sphere
     i = np.arange(n_directions) + 0.5
     phi = np.arccos(1.0 - 2.0 * i / n_directions)
@@ -422,10 +432,21 @@ def decimate_hulls(m: PhysicsModel, n_directions: int = 128) -> PhysicsModel:
         [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)],
         axis=1,
     )
+    def hull_dirs(k):
+        if per_geom_directions is None:
+            return dirs
+        nd = None
+        for prefix, n in per_geom_directions.items():
+            if m.col_geom_names[k].startswith(prefix):
+                nd = n
+        if nd is None or nd >= n_directions:
+            return dirs
+        return dirs[np.linspace(0, n_directions - 1, nd).astype(int)]
+
     new_hulls = []
-    for verts in m.col_hull_verts:
+    for k, verts in enumerate(m.col_hull_verts):
         v = np.asarray(verts)
-        keep = np.unique(np.argmax(dirs @ v.T, axis=1))
+        keep = np.unique(np.argmax(hull_dirs(k) @ v.T, axis=1))
         new_hulls.append(v[keep])
     return dataclasses.replace(m, col_hull_verts=tuple(new_hulls))
 
@@ -448,10 +469,20 @@ class DomainParams(typing.NamedTuple):
         gain and its bias coupling; the damping kv stays nominal).
       * ``base_mass_scale``: payload model — scales the free base body's
         mass and rotational inertia together (uniform density).
-      * ``tilt_x`` / ``tilt_y``: terrain model — per-scenario ground
+      * ``tilt_x`` / ``tilt_y``: terrain slope — per-scenario ground
         slope: the plane becomes z = tilt_x*x + tilt_y*y through the
         nominal plane point (|tilt| < ~2; the contact tangent frame
         follows the tilted normal).
+      * ``terrain_amp`` / ``terrain_freq``: rough terrain — a smooth
+        analytic bump field on top of the slope:
+        ``z(x, y) = tilt_x*x + tilt_y*y + amp*sin(freq*x)*sin(freq*y)``
+        (amp in meters, freq in rad/m). Contact resolves each geom
+        against the surface's local tangent plane at the geom center —
+        exact for pure slope, first-order in surface curvature otherwise,
+        so keep the wavelength 2*pi/freq a few times the foot size
+        (validated vs a sampled MuJoCo heightfield in
+        tests/test_terrain.py). ``terrain_amp`` and ``terrain_freq``
+        must be given together.
 
     Supported by ``ops.leg_engine`` / ``ops.pallas_engine`` and threaded
     through ``solvers.rollout.lane_batched_rollout_cost(dp=...)``.
@@ -462,6 +493,8 @@ class DomainParams(typing.NamedTuple):
     base_mass_scale: typing.Any = None
     tilt_x: typing.Any = None
     tilt_y: typing.Any = None
+    terrain_amp: typing.Any = None
+    terrain_freq: typing.Any = None
 
 
 def sample_domain_params(
@@ -471,13 +504,18 @@ def sample_domain_params(
     gain_range: Optional[Tuple[float, float]] = (0.8, 1.2),
     mass_range: Optional[Tuple[float, float]] = (0.9, 1.5),
     tilt_range: Optional[Tuple[float, float]] = None,
+    terrain_amp_range: Optional[Tuple[float, float]] = None,
+    terrain_freq_range: Tuple[float, float] = (15.0, 30.0),
 ):
     """Uniformly sampled ``DomainParams`` lanes for ``batch`` scenarios.
 
-    Pass None for a range to keep that quantity nominal."""
+    Pass None for a range to keep that quantity nominal. Terrain bumps
+    (``terrain_amp_range``, e.g. ``(0.0, 0.02)`` for up-to-2cm bumps)
+    sample amplitude and spatial frequency together; the default
+    frequency band keeps wavelengths 0.2-0.4 m, a few foot lengths."""
     import jax
 
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 7)
 
     def u(k, rng):
         if rng is None:
@@ -490,6 +528,11 @@ def sample_domain_params(
         base_mass_scale=u(ks[2], mass_range),
         tilt_x=u(ks[3], tilt_range),
         tilt_y=u(ks[4], tilt_range),
+        terrain_amp=u(ks[5], terrain_amp_range),
+        terrain_freq=(
+            None if terrain_amp_range is None
+            else u(ks[6], terrain_freq_range)
+        ),
     )
 
 
@@ -502,16 +545,29 @@ def get_planning_model(n_directions: int = 128) -> PhysicsModel:
     return _MODEL_CACHE[key]
 
 
-def get_fast_plant_model(n_directions: int = 128) -> PhysicsModel:
+def get_fast_plant_model(
+    n_directions: int = 128, n_secondary: Optional[int] = 64
+) -> PhysicsModel:
     """Full lower-leg collision set (feet + shins + ankle servos) with
     decimated hulls: the plant-fidelity configuration for the leg/Pallas
     engines. The raw foot hulls have ~440 vertices — fine for the
     gather-based engines but ruinous for the Mosaic kernels, whose
     vertex selection unrolls; support-direction decimation keeps contact
     geometry to sub-mm while shrinking every hull to <= ~n_directions
-    support vertices."""
-    key = ("fast_plant", n_directions)
+    support vertices.
+
+    ``n_secondary`` decimates the shin/ankle-servo hulls harder than the
+    feet (they only touch ground in falls and slope extremes, and their
+    vertex loops are pure VPU time in the fused kernel); pass None to
+    decimate everything at ``n_directions``."""
+    key = ("fast_plant", n_directions, n_secondary)
     if key not in _MODEL_CACHE:
         base = get_model(collision_geom_prefixes=MPC_COLLISION_PREFIXES)
-        _MODEL_CACHE[key] = decimate_hulls(base, n_directions)
+        per_geom = (
+            None if n_secondary is None
+            else {"shin": n_secondary, "ankle_servo": n_secondary}
+        )
+        _MODEL_CACHE[key] = decimate_hulls(
+            base, n_directions, per_geom_directions=per_geom
+        )
     return _MODEL_CACHE[key]

@@ -588,14 +588,41 @@ def _sym_matvec(Mff, Mfl, Mll, x_free, x_leg):
 # collision + constraint rows (all leg-batched: slots are (4, B))
 
 
-def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None):
-    """Plane contacts for every collision group: 3 slots of (4, B) per
-    group, each slot tagged (pos, dist, active, level, g0)."""
+def _slot_budget(verts: np.ndarray, theta2: float, theta3: float) -> int:
+    """How many of the 3 plane-convex contact slots can EVER activate for
+    this hull — its static per-group contact budget.
+
+    The 2nd slot requires an in-plane vertex separation >= theta2 and the
+    3rd a perpendicular spread >= theta3; both quantities are bounded by
+    the hull diameter, so calibrated thresholds beyond it (e.g. the
+    theta3 = 1.0 of the SERVO/SHIN meshes, models/spec.py) make those
+    slots statically dead — their ``active`` mask is identically False and
+    their constraint-row weight identically 0.0, so skipping them is
+    bit-exact while deleting their selection loops and Newton rows.
+    On the full lower-leg plant this cuts 12 of 36 contact slots."""
+    d2 = 0.0
+    for i in range(len(verts)):
+        d = np.sum((verts[i + 1 :] - verts[i]) ** 2, axis=1)
+        if d.size:
+            d2 = max(d2, float(d.max()))
+    diam = float(np.sqrt(d2))
+    if diam < theta2:
+        return 1
+    return 2 if diam < theta3 else 3
+
+
+def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None,
+             dp=None):
+    """Plane contacts for every collision group: up to 3 slots of (4, B)
+    per group (see ``_slot_budget``), each tagged
+    (pos, dist, active, level, g0, frame) — ``frame`` is None for the
+    global ground plane, or the terrain's per-geom local tangent frame
+    when ``DomainParams.terrain_amp`` is set."""
     ls = _leg_static(m)
     st = _static(m)
     if plane_frame is None:
         plane_frame, plane_off = st.plane_frame, st.plane_off
-    n = plane_frame[0]
+    terrain = _terrain_active(dp)
     dt = kin.base_pos[0].dtype
 
     slots = []
@@ -619,14 +646,22 @@ def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None):
         vn2 = jnp.asarray(np.sum(verts**2, axis=1), dt).reshape(vshape)
         vflat = tuple(jnp.asarray(verts[:, c], dt) for c in range(3))
 
+        if terrain:
+            frame, off_g = _local_plane(m, dp, gpos)
+            n = frame[0]
+        else:
+            frame, off_g = None, plane_off
+            n = plane_frame[0]
+
         a = L.mat_tvec(gmat, n)
-        base = L.sub(L.v3_dot(gpos, n), plane_off)
+        base = L.sub(L.v3_dot(gpos, n), off_g)
         h = vx * a[0][None] + vy * a[1][None] + vz * a[2][None] + base[None]
 
         margin = _f(m.col_margin[g0])
         theta2 = _f(m.col_theta2[g0])
         theta3 = _f(m.col_theta3[g0])
         inc = _f(m.col_margin[g0] - m.col_gap[g0])
+        nslot = _slot_budget(verts, theta2, theta3)
 
         def vert_at(idx):
             return tuple(jnp.take(vf, idx) for vf in vflat)
@@ -636,37 +671,42 @@ def _collide(m: PhysicsModel, kin: _Kin, plane_frame=None, plane_off=None):
         v0 = vert_at(i0)
         p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
         a0 = h0 < margin
+        emitted = [(p0, h0, a0)]
 
-        cand = h < 2.0 * margin
-        vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]
-        dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
-        dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
-        dmask = jnp.where(cand, dplan, -1.0)
-        i1 = jnp.argmax(dmask, axis=0)
-        d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
-        a1 = a0 & (d1 >= theta2)
-        v1 = vert_at(i1)
-        p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
-        h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
+        if nslot >= 2:
+            cand = h < 2.0 * margin
+            vdot0 = vx * v0[0][None] + vy * v0[1][None] + vz * v0[2][None]
+            dv2 = vn2 - 2.0 * vdot0 + L.v3_dot(v0, v0)[None]
+            dplan = jnp.sqrt(jnp.maximum(dv2 - (h - h0[None]) ** 2, 0.0))
+            dmask = jnp.where(cand, dplan, -1.0)
+            i1 = jnp.argmax(dmask, axis=0)
+            d1 = jnp.take_along_axis(dmask, i1[None], axis=0)[0]
+            a1 = a0 & (d1 >= theta2)
+            v1 = vert_at(i1)
+            p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+            h1 = jnp.take_along_axis(h, i1[None], axis=0)[0]
+            emitted.append((p1, h1, a1))
 
-        u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
-        inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
-        dh = h1 - h0
-        t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
-        perp = L.v3_cross(n, t)
-        gq = L.mat_tvec(gmat, perp)
-        cdot = vx * gq[0][None] + vy * gq[1][None] + vz * gq[2][None]
-        cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, gq)[None]), -1.0)
-        i2 = jnp.argmax(cmask, axis=0)
-        c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
-        a2 = a1 & (c2 >= theta3)
-        v2 = vert_at(i2)
-        p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
-        h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
+        if nslot >= 3:
+            u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+            inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+            dh = h1 - h0
+            t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1) for i in range(3))
+            perp = L.v3_cross(n, t)
+            gq = L.mat_tvec(gmat, perp)
+            cdot = vx * gq[0][None] + vy * gq[1][None] + vz * gq[2][None]
+            cmask = jnp.where(cand, jnp.abs(cdot - L.v3_dot(v0, gq)[None]), -1.0)
+            i2 = jnp.argmax(cmask, axis=0)
+            c2 = jnp.take_along_axis(cmask, i2[None], axis=0)[0]
+            a2 = a1 & (c2 >= theta3)
+            v2 = vert_at(i2)
+            p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+            h2 = jnp.take_along_axis(h, i2[None], axis=0)[0]
+            emitted.append((p2, h2, a2))
 
-        for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+        for (pi, hi, ai) in emitted:
             pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
-            slots.append((pos, hi, ai & (hi < inc), level, g0))
+            slots.append((pos, hi, ai & (hi < inc), level, g0, frame))
     return slots
 
 
@@ -695,8 +735,60 @@ def _plane(m: PhysicsModel, dp):
     return (n, t1, t2), off
 
 
+def _terrain_surface(m: PhysicsModel, dp, x, y):
+    """(z, gx, gy): terrain surface height and gradient at lane (x, y).
+
+    Surface (models/spec.DomainParams): slope + smooth bump field
+    ``z = pp_z + tilt_x*(x-pp_x) + tilt_y*(y-pp_y)
+         + amp*sin(freq*(x-pp_x))*sin(freq*(y-pp_y))``."""
+    pp = np.asarray(m.plane_pos, np.float64)
+    tx = dp.tilt_x if dp.tilt_x is not None else 0.0
+    ty = dp.tilt_y if dp.tilt_y is not None else 0.0
+    xr = x - float(pp[0])
+    yr = y - float(pp[1])
+    z = tx * xr + ty * yr + float(pp[2])
+    gx = tx * jnp.ones_like(x)
+    gy = ty * jnp.ones_like(x)
+    if dp.terrain_amp is not None:
+        A, k = dp.terrain_amp, dp.terrain_freq
+        sx, cx = jnp.sin(k * xr), jnp.cos(k * xr)
+        sy, cy = jnp.sin(k * yr), jnp.cos(k * yr)
+        z = z + A * sx * sy
+        gx = gx + A * k * cx * sy
+        gy = gy + A * k * sx * cy
+    return z, gx, gy
+
+
+def _local_plane(m: PhysicsModel, dp, gpos):
+    """((n, t1, t2), off): the terrain's local tangent plane at the geom
+    center's xy — contact resolves the hull against this plane (exact for
+    pure slope; first-order in curvature for the bump field, so keep the
+    wavelength a few times the hull size). The tangent construction
+    matches ``_plane`` (valid while |n_x| < 0.9)."""
+    x, y = gpos[0], gpos[1]
+    z, gx, gy = _terrain_surface(m, dp, x, y)
+    inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + 1.0)
+    n = (-gx * inv, -gy * inv, inv)
+    s = 1.0 / jnp.sqrt(n[1] * n[1] + n[2] * n[2])
+    t1 = (jnp.zeros_like(s), n[2] * s, -n[1] * s)
+    t2 = L.v3_cross(n, t1)
+    off = n[0] * x + n[1] * y + n[2] * z
+    return (n, t1, t2), off
+
+
+def _terrain_active(dp) -> bool:
+    if dp is None or dp.terrain_amp is None:
+        return False
+    if dp.terrain_freq is None:
+        raise ValueError(
+            "DomainParams.terrain_amp requires terrain_freq "
+            "(see models/spec.py)"
+        )
+    return True
+
+
 def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
-                  plane_off=None):
+                  plane_off=None, dp=None):
     """Same contact slots as ``_collide`` but with the argmin/gather
     selections rewritten as unrolled select-loops over the hull vertices —
     no dynamic gathers, so it lowers inside Pallas/Mosaic kernels (and the
@@ -705,7 +797,7 @@ def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
     st = _static(m)
     if plane_frame is None:
         plane_frame, plane_off = st.plane_frame, st.plane_off
-    n = plane_frame[0]
+    terrain = _terrain_active(dp)
 
     slots = []
     for level, group in ls.col_groups:
@@ -721,8 +813,15 @@ def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
         verts = np.asarray(m.col_hull_verts[g0])
         V = verts.shape[0]
 
+        if terrain:
+            frame, off_g = _local_plane(m, dp, gpos)
+            n = frame[0]
+        else:
+            frame, off_g = None, plane_off
+            n = plane_frame[0]
+
         a = L.mat_tvec(gmat, n)
-        base = L.sub(L.v3_dot(gpos, n), plane_off)
+        base = L.sub(L.v3_dot(gpos, n), off_g)
         # per-vertex heights, as a python list of (4, B) lanes (no V axis)
         hs = [
             L.add(L.add(L.mul(float(verts[i, 0]), a[0]),
@@ -735,6 +834,7 @@ def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
         theta2 = _f(m.col_theta2[g0])
         theta3 = _f(m.col_theta3[g0])
         inc = _f(m.col_margin[g0] - m.col_gap[g0])
+        nslot = _slot_budget(verts, theta2, theta3)
 
         # slot 0: deepest vertex (min height)
         b_h = hs[0]
@@ -747,57 +847,62 @@ def _collide_loop(m: PhysicsModel, kin: _Kin, plane_frame=None,
         h0, v0 = b_h, b_v
         p0 = L.v3_add(gpos, L.mat_vec(gmat, v0))
         a0 = h0 < margin
+        emitted = [(p0, h0, a0)]
 
-        # slot 1: max in-plane distance from v0 among candidates
-        vn2 = [float(np.sum(verts[i] ** 2)) for i in range(V)]
-        v0n2 = L.v3_dot(v0, v0)
-        neg = jnp.full_like(h0, -1.0)
-        b_s = neg
-        b_v1 = tuple(jnp.zeros_like(h0) for _ in range(3))
-        b_h1 = jnp.zeros_like(h0)
-        for i in range(V):
-            vdot0 = (float(verts[i, 0]) * v0[0] + float(verts[i, 1]) * v0[1]
-                     + float(verts[i, 2]) * v0[2])
-            dv2 = vn2[i] - 2.0 * vdot0 + v0n2
-            dplan = jnp.sqrt(jnp.maximum(dv2 - (hs[i] - h0) ** 2, 0.0))
-            s_i = jnp.where(hs[i] < 2.0 * margin, dplan, neg)
-            take = s_i > b_s
-            b_s = jnp.where(take, s_i, b_s)
-            b_v1 = tuple(jnp.where(take, float(verts[i, c]), b_v1[c])
-                         for c in range(3))
-            b_h1 = jnp.where(take, hs[i], b_h1)
-        d1, v1, h1 = b_s, b_v1, b_h1
-        a1 = a0 & (d1 >= theta2)
-        p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+        if nslot >= 2:
+            # slot 1: max in-plane distance from v0 among candidates
+            vn2 = [float(np.sum(verts[i] ** 2)) for i in range(V)]
+            v0n2 = L.v3_dot(v0, v0)
+            neg = jnp.full_like(h0, -1.0)
+            b_s = neg
+            b_v1 = tuple(jnp.zeros_like(h0) for _ in range(3))
+            b_h1 = jnp.zeros_like(h0)
+            for i in range(V):
+                vdot0 = (float(verts[i, 0]) * v0[0] + float(verts[i, 1]) * v0[1]
+                         + float(verts[i, 2]) * v0[2])
+                dv2 = vn2[i] - 2.0 * vdot0 + v0n2
+                dplan = jnp.sqrt(jnp.maximum(dv2 - (hs[i] - h0) ** 2, 0.0))
+                s_i = jnp.where(hs[i] < 2.0 * margin, dplan, neg)
+                take = s_i > b_s
+                b_s = jnp.where(take, s_i, b_s)
+                b_v1 = tuple(jnp.where(take, float(verts[i, c]), b_v1[c])
+                             for c in range(3))
+                b_h1 = jnp.where(take, hs[i], b_h1)
+            d1, v1, h1 = b_s, b_v1, b_h1
+            a1 = a0 & (d1 >= theta2)
+            p1 = L.v3_add(gpos, L.mat_vec(gmat, v1))
+            emitted.append((p1, h1, a1))
 
-        # slot 2: max perpendicular spread
-        u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
-        inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
-        dh = h1 - h0
-        t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1)
-                  for i in range(3))
-        perp = L.v3_cross(n, t)
-        gq = L.mat_tvec(gmat, perp)
-        v0gq = L.v3_dot(v0, gq)
-        b_s = neg
-        b_v2 = tuple(jnp.zeros_like(h0) for _ in range(3))
-        b_h2 = jnp.zeros_like(h0)
-        for i in range(V):
-            cdot = (float(verts[i, 0]) * gq[0] + float(verts[i, 1]) * gq[1]
-                    + float(verts[i, 2]) * gq[2])
-            s_i = jnp.where(hs[i] < 2.0 * margin, jnp.abs(cdot - v0gq), neg)
-            take = s_i > b_s
-            b_s = jnp.where(take, s_i, b_s)
-            b_v2 = tuple(jnp.where(take, float(verts[i, c]), b_v2[c])
-                         for c in range(3))
-            b_h2 = jnp.where(take, hs[i], b_h2)
-        c2, v2, h2 = b_s, b_v2, b_h2
-        a2 = a1 & (c2 >= theta3)
-        p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+        if nslot >= 3:
+            # slot 2: max perpendicular spread
+            u1 = L.mat_vec(gmat, L.v3_sub(v1, v0))
+            inv_d1 = 1.0 / jnp.maximum(d1, 1e-12)
+            dh = h1 - h0
+            t = tuple(L.mul(L.sub(u1[i], L.mul(n[i], dh)), inv_d1)
+                      for i in range(3))
+            perp = L.v3_cross(n, t)
+            gq = L.mat_tvec(gmat, perp)
+            v0gq = L.v3_dot(v0, gq)
+            b_s = neg
+            b_v2 = tuple(jnp.zeros_like(h0) for _ in range(3))
+            b_h2 = jnp.zeros_like(h0)
+            for i in range(V):
+                cdot = (float(verts[i, 0]) * gq[0] + float(verts[i, 1]) * gq[1]
+                        + float(verts[i, 2]) * gq[2])
+                s_i = jnp.where(hs[i] < 2.0 * margin, jnp.abs(cdot - v0gq), neg)
+                take = s_i > b_s
+                b_s = jnp.where(take, s_i, b_s)
+                b_v2 = tuple(jnp.where(take, float(verts[i, c]), b_v2[c])
+                             for c in range(3))
+                b_h2 = jnp.where(take, hs[i], b_h2)
+            c2, v2, h2 = b_s, b_v2, b_h2
+            a2 = a1 & (c2 >= theta3)
+            p2 = L.v3_add(gpos, L.mat_vec(gmat, v2))
+            emitted.append((p2, h2, a2))
 
-        for (pi, hi, ai) in ((p0, h0, a0), (p1, h1, a1), (p2, h2, a2)):
+        for (pi, hi, ai) in emitted:
             pos = tuple(L.sub(pi[i], L.mul(0.5 * n[i], hi)) for i in range(3))
-            slots.append((pos, hi, ai & (hi < inc), level, g0))
+            slots.append((pos, hi, ai & (hi < inc), level, g0, frame))
     return slots
 
 
@@ -844,8 +949,11 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
 
     # ---- contact slots ----
     slot_J, slot_mu = [], []
-    for (pos, dist, active, level, g0) in slots:
+    for (pos, dist, active, level, g0, frame) in slots:
         body0 = ls.leg_bodies[level][0]
+        # terrain slots carry their own local tangent frame; flat/tilted
+        # ground shares the single global one
+        n_s, t1_s, t2_s = frame if frame is not None else (n, t1, t2)
         # DomainParams.friction: per-sample tangential coefficient applied
         # uniformly to every ground-contact group (the impedance weights
         # below keep the nominal compile-time invweights, matching
@@ -858,9 +966,9 @@ def _make_rows(m: PhysicsModel, kin: _Kin, S_free, S_leg, q_leg, qv_free,
             for S in S_rows:
                 c = L.v3_cross(L.sv_ang(S), rel)
                 w = L.v3_add(c, L.sv_lin(S))
-                Jn.append(L.v3_dot(w, n))
-                Jt1.append(L.v3_dot(w, t1))
-                Jt2.append(L.v3_dot(w, t2))
+                Jn.append(L.v3_dot(w, n_s))
+                Jt1.append(L.v3_dot(w, t1_s))
+                Jt2.append(L.v3_dot(w, t2_s))
             return Jn, Jt1, Jt2
 
         Jn_f, Jt1_f, Jt2_f = proj_rows(S_free)
@@ -1181,7 +1289,8 @@ def _step_impl(m, ls, ctrl, solver_iterations, ls_iterations,
 
     if solver_iterations > 0:
         plane_frame, plane_off = _plane(m, dp)
-        slots = (collide_fn or _collide)(m, kin, plane_frame, plane_off)
+        slots = (collide_fn or _collide)(m, kin, plane_frame, plane_off,
+                                         dp=dp)
         rows = _make_rows(m, kin, S_free, S_leg, q_leg, qv_free, qv_leg,
                           slots, friction=dp.friction,
                           plane_frame=plane_frame)

@@ -74,7 +74,7 @@ def _dp_inputs(dp, bs, fold):
     names, arrays, specs = [], [], []
     if dp is not None:
         for n in ("friction", "gain_scale", "base_mass_scale",
-                  "tilt_x", "tilt_y"):
+                  "tilt_x", "tilt_y", "terrain_amp", "terrain_freq"):
             v = getattr(dp, n)
             if v is not None:
                 names.append(n)

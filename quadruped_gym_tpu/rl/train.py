@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dashboard", action="store_true",
                    help="serve live metrics on :8050")
+    p.add_argument("--lane-physics", action="store_true",
+                   help="route env physics through the batch-minor "
+                        "lane/leg engine (~4x rollout throughput)")
     p.add_argument("--no-eval", action="store_true",
                    help="skip the per-iteration eval rollout")
     p.add_argument("--no-eval-video", action="store_true",
@@ -77,7 +80,10 @@ def main(argv=None):
 
     m = spec.get_model(collision_geom_prefixes=spec.MPC_COLLISION_PREFIXES)
     env_cfg = make_env_config(args)
-    cfg = ppo.PPOConfig(num_envs=args.num_envs, num_steps=args.num_steps)
+    cfg = ppo.PPOConfig(
+        num_envs=args.num_envs, num_steps=args.num_steps,
+        lane_physics=args.lane_physics,
+    )
 
     if args.distributed:
         from ..parallel import DATA_AXIS, make_mesh, multihost

@@ -34,7 +34,8 @@ def save(path: str, tree: Any, step: Optional[int] = None) -> None:
     os.makedirs(path, exist_ok=True)
     leaves, _ = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    tmp_state = os.path.join(path, ".state.npz.tmp")
+    # np.savez appends ".npz" to names without it — keep the suffix last
+    tmp_state = os.path.join(path, ".state.tmp.npz")
     np.savez(tmp_state, **arrays)
     os.replace(tmp_state, os.path.join(path, "state.npz"))
     meta = {"num_leaves": len(leaves), "step": step}

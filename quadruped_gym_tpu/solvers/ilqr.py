@@ -175,6 +175,7 @@ class ILQRResult(NamedTuple):
     cost: jnp.ndarray  # () final trajectory cost
     initial_cost: jnp.ndarray
     reg: jnp.ndarray
+    cost_history: jnp.ndarray  # (iterations,) cost after each iteration
 
 
 def _clamp(m: PhysicsModel, u: jnp.ndarray) -> jnp.ndarray:
@@ -314,7 +315,10 @@ def solve(
         return (us_new, states_new, cost_new, reg_new), cost_new
 
     init = (us0, states0, cost0, jnp.asarray(cfg.reg_init, dt))
-    (us, _, cost, reg), _ = jax.lax.scan(
+    (us, _, cost, reg), cost_hist = jax.lax.scan(
         iteration, init, None, length=cfg.iterations
     )
-    return ILQRResult(ctrl_seq=us, cost=cost, initial_cost=cost0, reg=reg)
+    return ILQRResult(
+        ctrl_seq=us, cost=cost, initial_cost=cost0, reg=reg,
+        cost_history=cost_hist,
+    )

@@ -45,12 +45,33 @@ def walking_stage_cost(
     ctrl: jnp.ndarray,
     prev_ctrl: jnp.ndarray,
     cmd: Command,
+    vel_smooth_eps: float = 0.0,
 ) -> jnp.ndarray:
-    """Negative of the stateless part of input_control_reward."""
+    """Negative of the stateless part of input_control_reward.
+
+    ``vel_smooth_eps`` (m/s) smooths the two progress terms' velocity
+    norm: |v| -> sqrt(|v|^2 + eps^2). With eps = 0 this is the exact task
+    reward (the sampling solvers' scoring function). Gradient solvers
+    need eps > 0: at rest the direction reward's true gradient is
+    unbounded (unit() is non-smooth at v = 0) and the AD-guarded
+    Jacobian is zero — either way iLQR/SQP quadratized at stance get no
+    "start moving" signal, and the solve stalls at the standing fixed
+    point. eps ~ 0.02 biases the reward by <1% at the 0.2 m/s command
+    while giving the quadratization a finite, correct slope at rest."""
+    if vel_smooth_eps > 0.0:
+        v = sens[sl.vel : sl.vel + 2]
+        c = cmd.velocity[:2]
+        vn = jnp.sqrt(v @ v + vel_smooth_eps * vel_smooth_eps)
+        cn = jnp.linalg.norm(c)
+        prog_dir = (v @ c) / (vn * jnp.maximum(cn, 1e-30))
+        speed_cost = jnp.square(vn - cn)
+    else:
+        prog_dir = rewards.progress_direction_reward_local(sens, sl, cmd)
+        speed_cost = rewards.progress_speed_cost_local(sens, sl, cmd)
     reward = (
         +10.0 * rewards.alive_bonus(sens.dtype)
-        + 10.0 * rewards.progress_direction_reward_local(sens, sl, cmd)
-        - 50.0 * rewards.progress_speed_cost_local(sens, sl, cmd)
+        + 10.0 * prog_dir
+        - 50.0 * speed_cost
         + 10.0 * rewards.exp_dist(rewards.heading_reward(sens, sl, cmd))
         + 10.0 * rewards.exp_dist(rewards.orientation_reward(sens, sl))
         - 50.0 * rewards.exp_dist(rewards.body_height_cost(sens, sl, 0.13))
@@ -62,15 +83,16 @@ def walking_stage_cost(
     return -reward
 
 
-def make_cost_fn(m: PhysicsModel) -> CostFn:
+def make_cost_fn(m: PhysicsModel, vel_smooth_eps: float = 0.0) -> CostFn:
     sl = rewards.SensorSlices.from_model(m)
 
     def fn(sens, ctrl, prev_ctrl, cmd):
-        return walking_stage_cost(sl, sens, ctrl, prev_ctrl, cmd)
+        return walking_stage_cost(sl, sens, ctrl, prev_ctrl, cmd,
+                                  vel_smooth_eps=vel_smooth_eps)
 
     # marker checked by the fused whole-rollout kernel, whose stage cost
-    # is hard-wired to this function's math
-    fn._is_walking_stage_cost = True
+    # is hard-wired to this function's exact (eps = 0) math
+    fn._is_walking_stage_cost = vel_smooth_eps == 0.0
     return fn
 
 
@@ -126,6 +148,7 @@ def lane_batched_rollout_cost(
     engine_impl: str = "leg",
     dp=None,  # models.spec.DomainParams of (S,) lanes: per-scenario
     # randomized friction/gains/payload ("leg"/"pallas"/"fused" only)
+    block: Optional[int] = None,  # Pallas batch tile ("fused"/"pallas")
 ) -> jnp.ndarray:
     """(S,) total costs through the lane-batched (batch-minor) engine.
 
@@ -162,10 +185,11 @@ def lane_batched_rollout_cost(
                 "ignored. Use make_cost_fn(m), or engine_impl='pallas' "
                 "for custom costs."
             )
+        kw = {} if block is None else {"block": block}
         return pallas_engine.fused_rollout_cost(
             m, state0, ctrl_seqs, cmd, prev_ctrl0, cfg.frame_skip,
             solver_iterations=newton_iterations,
-            ls_iterations=ls_iterations, dp=dp,
+            ls_iterations=ls_iterations, dp=dp, **kw,
         )
     if engine_impl == "pallas" and _leg_engine.is_compatible(m):
         from ..ops import pallas_engine as eng

@@ -56,6 +56,7 @@ class SQPResult(NamedTuple):
     ctrl_seq: jnp.ndarray  # (H, nu) optimized, clamped
     cost: jnp.ndarray
     initial_cost: jnp.ndarray
+    cost_history: jnp.ndarray  # (iterations,) cost after each SQP iteration
 
 
 def sensitivities(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -260,7 +261,9 @@ def solve(
 
     us0 = jnp.clip(ctrl_seq, lo_u, hi_u)
     states0, cost0 = traj_rollout(us0)
-    (us, _, cost), _ = jax.lax.scan(
+    (us, _, cost), cost_hist = jax.lax.scan(
         iteration, (us0, states0, cost0), None, length=cfg.iterations
     )
-    return SQPResult(ctrl_seq=us, cost=cost, initial_cost=cost0)
+    return SQPResult(
+        ctrl_seq=us, cost=cost, initial_cost=cost0, cost_history=cost_hist
+    )

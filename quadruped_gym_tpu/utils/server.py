@@ -33,7 +33,7 @@ _PAGE = """<!DOCTYPE html>
 <div id="view"><canvas id="c" width="1200" height="380"></canvas></div>
 <div id="tbl"></div>
 <script>
-let mode='total', data=null;
+let mode='total', data=null, filt='';
 const tabs=[['total','Total reward'],['components','Components'],['raw','Raw tail']];
 function drawTabs(){
   document.getElementById('tabs').innerHTML=tabs.map(
@@ -56,10 +56,28 @@ function render(){
   document.getElementById('tbl').innerHTML='';
   if(mode=='raw'){
     cv.style.display='none';
-    const tail=data.rows.slice(-30);
-    document.getElementById('tbl').innerHTML='<table><tr><th>step</th><th>total</th>'+
-      data.keys.map(k=>`<th>${k}</th>`).join('')+'</tr>'+
-      tail.map(r=>'<tr>'+r.map(v=>`<td>${(+v).toFixed(3)}</td>`).join('')+'</tr>').join('')+'</table>';
+    // filterable raw table (the reference's Dash DataTable filter row,
+    // server.py:80-142): space-separated terms; `name` keeps matching
+    // columns, `col>x` / `col<x` filter rows on that column's value
+    const cols=['step','total'].concat(data.keys);
+    let keep=cols.map((c,i)=>i), rowpred=[];
+    for(const term of (filt||'').trim().split(/\s+/).filter(t=>t)){
+      const m=term.match(/^([a-zA-Z_]+)([<>])(-?[\d.]+)$/);
+      if(m){
+        const ci=cols.findIndex(c=>c.includes(m[1]));
+        if(ci>=0) rowpred.push(r=> m[2]=='>' ? +r[ci]>+m[3] : +r[ci]<+m[3]);
+      } else {
+        keep=keep.filter(i=>i<2||cols[i].includes(term));
+      }
+    }
+    let rows=data.rows.filter(r=>rowpred.every(p=>p(r))).slice(-30);
+    document.getElementById('tbl').innerHTML=
+      `<p><input id="f" size="40" value="${filt}" `+
+      `placeholder="filter: e.g. heading total>5" `+
+      `oninput="filt=this.value;render();`+
+      `let e=document.getElementById('f');e.focus();e.selectionStart=e.value.length"></p>`+
+      '<table><tr>'+keep.map(i=>`<th>${cols[i]}</th>`).join('')+'</tr>'+
+      rows.map(r=>'<tr>'+keep.map(i=>`<td>${(+r[i]).toFixed(3)}</td>`).join('')+'</tr>').join('')+'</table>';
     return;
   }
   cv.style.display='block';

@@ -24,7 +24,14 @@ import jax  # noqa: E402
 import os as _os
 
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", _os.path.join(_REPO, ".jax_cache"))
+# JAX_COMPILATION_CACHE_DIR overrides, so a test run can use a private
+# cache while another JAX process (bench/training) writes the shared one —
+# concurrent writers have produced torn-read aborts (see note below)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    or _os.path.join(_REPO, ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 jax.config.update("jax_enable_x64", True)

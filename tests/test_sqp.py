@@ -146,3 +146,61 @@ def test_sqp_sharded_condensation_runs(m, cpu_devices):
     )(state0, us0)
     assert np.isfinite(float(res.cost))
     assert float(res.cost) <= float(res.initial_cost) + 1e-9
+
+
+def test_smoothed_cost_has_moving_gradient_at_rest(m):
+    """The exact task cost's progress terms have a degenerate gradient at
+    v == 0 (unit() is non-smooth; the AD guard zeroes it), which stalls
+    gradient solvers started from stance. make_cost_fn(vel_smooth_eps>0)
+    must restore a finite, nonzero 'start moving' slope there."""
+    import jax
+
+    from quadruped_gym_tpu.solvers import ilqr
+    from quadruped_gym_tpu.tasks import rewards as rw
+
+    sl = rw.SensorSlices.from_model(m)
+    cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
+    sens0 = jnp.zeros(m.nsensordata, jnp.float64)
+    sens0 = sens0.at[sl.zaxis + 2].set(1.0)  # upright
+    sens0 = sens0.at[sl.xaxis].set(1.0)
+    sens0 = sens0.at[sl.pos + 2].set(0.13)
+    u = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float64)
+
+    def grad_wrt_v(eps):
+        fn = rollout.make_cost_fn(m, vel_smooth_eps=eps)
+
+        def c(v):
+            s = sens0.at[sl.vel : sl.vel + 2].set(v)
+            return fn(s, u, u, cmd)
+
+        return np.asarray(jax.grad(c)(jnp.zeros(2, jnp.float64)))
+
+    g_exact = grad_wrt_v(0.0)
+    g_smooth = grad_wrt_v(0.02)
+    # the degenerate case (documented): the speed cost's |v| is
+    # non-differentiable at rest — AD returns NaN, which poisons every
+    # quadratization evaluated at stance
+    assert not np.any(np.isfinite(g_exact))
+    assert np.linalg.norm(g_smooth) > 1.0, g_smooth
+    assert np.all(np.isfinite(g_smooth))
+    # the slope points along the command: moving forward reduces cost
+    assert g_smooth[0] < 0.0
+
+    # the smoothed cost refuses the fused kernel (hard-wired exact cost)
+    fn_s = rollout.make_cost_fn(m, vel_smooth_eps=0.02)
+    assert not fn_s._is_walking_stage_cost
+    with pytest.raises(ValueError):
+        rollout.lane_batched_rollout_cost(
+            m, rollout.RolloutConfig(horizon=2, frame_skip=1), fn_s,
+            engine.make_state(m, dtype=jnp.float64),
+            jnp.zeros((8, 2, m.nu), jnp.float64), cmd,
+            jnp.zeros(m.nu, jnp.float64), engine_impl="fused",
+        )
+
+    # and for |v| >> eps the smoothed and exact costs agree closely
+    s_fast = sens0.at[sl.vel : sl.vel + 2].set(jnp.array([0.2, 0.05]))
+    fn0 = rollout.make_cost_fn(m)
+    np.testing.assert_allclose(
+        float(fn_s(s_fast, u, u, cmd)), float(fn0(s_fast, u, u, cmd)),
+        rtol=0.01,
+    )
