@@ -117,6 +117,12 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=50)
     p.add_argument("--frame-skip", type=int, default=5)
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--linearize", choices=("ad", "fd"), default="ad",
+                   help="'ad' (default): jacfwd through the contact "
+                        "Newton — exact branch tangents; 'fd': central "
+                        "differences, which straddle contact-branch "
+                        "discontinuities (O(1/eps) artifacts; kept for "
+                        "cross-checks and the epsilon study)")
     p.add_argument("--fd-eps", type=float, default=None,
                    help="FD epsilon (default: tuned per dtype)")
     p.add_argument("--speed", type=float, default=0.2)
@@ -183,13 +189,15 @@ def main(argv=None):
     if args.solver == "sqp":
         def solve(s0, u0, eps):
             cfg = sqp.SQPConfig(
-                iterations=args.iterations, rollout=rcfg, fd_eps=eps
+                iterations=args.iterations, rollout=rcfg,
+                linearize=args.linearize, fd_eps=eps,
             )
             return sqp.solve(m, cfg, cost_fn, s0, u0, cmd, prev, mesh=mesh)
     else:
         def solve(s0, u0, eps):
             cfg = ilqr.ILQRConfig(
-                iterations=args.iterations, rollout=rcfg, fd_eps=eps
+                iterations=args.iterations, rollout=rcfg,
+                linearize=args.linearize, fd_eps=eps,
             )
             return ilqr.solve(m, cfg, cost_fn, s0, u0, cmd, prev)
 
@@ -200,7 +208,7 @@ def main(argv=None):
     # artifacts/gait_*_report.json); f64 keeps the 1e-5 of the unit tests
     default_eps = 1e-5 if dtype == jnp.float64 else 3e-4
     eps_list = (
-        [1e-4, 3e-4, 1e-3, 3e-3] if args.tune_eps
+        [1e-4, 3e-4, 1e-3, 3e-3] if (args.tune_eps and args.linearize == "fd")
         else [args.fd_eps or default_eps]
     )
 
@@ -226,6 +234,7 @@ def main(argv=None):
         "dtype": dtype.__name__,
         "iterations": args.iterations,
         "device": str(dev),
+        "linearize": args.linearize,
         "sharded_condensation": bool(args.shard),
         "command_speed": args.speed,
         "init": args.init,

@@ -69,6 +69,12 @@ def main(argv=None):
                    help="skip the per-iteration eval rollout")
     p.add_argument("--no-eval-video", action="store_true",
                    help="eval without recording videos/run_{i}.mp4")
+    p.add_argument("--video-every", type=int, default=1,
+                   help="record the eval video only every Nth iteration "
+                        "(plus the last); metrics still log every "
+                        "iteration. The software-renderer fallback is "
+                        "host-bound — on a 1-core host per-iteration "
+                        "videos can dominate wall clock")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all devices (and hosts "
                         "when launched under jax.distributed)")
@@ -171,13 +177,17 @@ def main(argv=None):
             from . import evaluate as eval_mod
 
             os.makedirs(os.path.join(out, "videos"), exist_ok=True)
+            want_video = not args.no_eval_video and (
+                it % args.video_every == 0
+                or it == start_iter + args.iterations - 1
+            )
             em = eval_mod.eval_rollout(
                 jax.device_get(ts.params),
                 obs_window=args.obs_window,
                 max_time=args.max_time,
                 frame_skip=args.frame_skip,
                 partial_obs=not args.full_obs,
-                save_video=not args.no_eval_video,
+                save_video=want_video,
                 video_path=os.path.join(out, "videos", f"run_{it}.mp4"),
                 seed=args.seed + it,
             )

@@ -1,15 +1,17 @@
 """iLQR trajectory optimization over the contact dynamics.
 
 The gradient-based companion to the sampling solvers (SURVEY.md §7.4):
-linearize the *full* step (contacts included) with batched central finite
-differences — the same device-friendly choice as MuJoCo MPC's
-``mjd_transitionFD``, and the only sound one here since the per-env contact
-solve iterates data-dependently — then run a regularized Riccati backward
-pass and a parallel-line-search forward pass.
+linearize the *full* step (contacts included) — by forward-mode AD through
+the fixed-iteration contact Newton by default (``ad_linearize``: exact
+tangents of the selected solver branch), or by batched central finite
+differences (``fd_linearize``, MuJoCo MPC's ``mjd_transitionFD`` recipe,
+kept for cross-checks; FD straddles the solver's discrete branch switches
+at contact-rich states, planting O(1/eps) artifacts in A) — then run a
+regularized Riccati backward pass and a parallel-line-search forward pass.
 
-TPU mapping: the FD linearization is one vmapped batch of
-``H x 2 x (2 nv + nu)`` physics steps (the hot part — pure data
-parallelism, shardable over chips exactly like MPPI samples), the backward
+TPU mapping: the linearization is one vmapped batch of ``H x (2 nv + nu)``
+tangents through the step (the hot part — pure data parallelism,
+shardable over chips exactly like MPPI samples), the backward
 pass is a ``lax.scan`` of tiny MXU matmuls, and the forward line search
 evaluates all step sizes as one vmapped rollout batch, picking the best on
 device. Controls clamp to the actuator range in every rollout (box-iLQR
@@ -132,6 +134,53 @@ def fd_linearize(m: PhysicsModel, step_fn, state0, states, us, eps):
     return jax.vmap(fd_one)(prev_states, us)
 
 
+def ad_linearize(m: PhysicsModel, step_fn, state0, states, us):
+    """A (H, nx, nx), B (H, nx, nu) by forward-mode AD through the full
+    step — contact Newton included.
+
+    Central FD across the contact solver's *discrete* structure (active-set
+    selection, line-search winner switches) straddles jump discontinuities:
+    a O(1) branch change divided by 2·eps plants O(1/eps) garbage entries
+    in A (measured: |A|_max ≈ 2e3 at stance with eps=3e-4), and the H-step
+    sensitivity products then overflow f32 — the root cause of the flat
+    H=50 SQP solves. jacfwd differentiates the *selected branch* exactly:
+    tangents stay bounded by the true local dynamics, and it costs half of
+    central FD (one JVP per tangent instead of two steps). This is the
+    sound default; FD remains available for cross-checking
+    (``fd_linearize``), mirroring MuJoCo's mjd_transitionFD."""
+    nx = tangent_dim(m)
+    _, nu = us.shape
+    dt = us.dtype
+    prev_states = jax.tree.map(
+        lambda s0, s: jnp.concatenate([jnp.expand_dims(s0, 0), s[:-1]], 0),
+        state0, states,
+    )
+
+    def one(st, u):
+        ref = step_fn(st, u)
+
+        def g(dxu):
+            dx, du = dxu[:nx], dxu[nx:]
+            nxt = step_fn(state_add(m, st, dx), u + du)
+            return state_diff(m, nxt, ref)
+
+        J = jax.jacfwd(g)(jnp.zeros(nx + nu, dt))
+        return J[:, :nx], J[:, nx:]
+
+    return jax.vmap(one)(prev_states, us)
+
+
+def make_linearizer(method: str):
+    """'ad' (jacfwd, default) or 'fd' (central differences, needs eps)."""
+    if method == "ad":
+        return lambda m, step_fn, s0, states, us, eps: ad_linearize(
+            m, step_fn, s0, states, us
+        )
+    if method == "fd":
+        return fd_linearize
+    raise ValueError(f"unknown linearize method: {method!r}")
+
+
 def quadratize_cost(m: PhysicsModel, cost_fn, cmd, states, us, prev_ctrl0):
     """(lx, lxx, lu, luu) at each step via AD of the smooth stage cost.
 
@@ -163,6 +212,7 @@ def quadratize_cost(m: PhysicsModel, cost_fn, cmd, states, us, prev_ctrl0):
 class ILQRConfig:
     iterations: int = 8
     rollout: rollout_mod.RolloutConfig = rollout_mod.RolloutConfig()
+    linearize: str = "ad"  # 'ad' (exact branch tangents) | 'fd' (central FD)
     fd_eps: float = 1e-5
     reg_init: float = 1e-4
     reg_factor: float = 4.0
@@ -219,7 +269,9 @@ def solve(
         return states, jnp.sum(costs)
 
     def linearize(states, us):
-        return fd_linearize(m, step_fn, state0, states, us, cfg.fd_eps)
+        return make_linearizer(cfg.linearize)(
+            m, step_fn, state0, states, us, cfg.fd_eps
+        )
 
     def cost_expansion(states, us):
         lx, lxx, lu, luu = quadratize_cost(
@@ -295,6 +347,11 @@ def solve(
         cand_us, cand_states, cand_cost = jax.vmap(
             lambda a: forward_controls(states, us, k, K, a)
         )(alphas)
+        # a NaN candidate (diverged rollout) must lose the argmin, not
+        # poison it: NaN < cost is False, which would stall silently
+        cand_cost = jnp.where(
+            jnp.isnan(cand_cost), jnp.inf, cand_cost
+        )
         best = jnp.argmin(cand_cost)
         best_cost = cand_cost[best]
         improved = best_cost < cost

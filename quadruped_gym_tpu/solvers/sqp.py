@@ -46,6 +46,7 @@ from . import rollout as rollout_mod
 class SQPConfig:
     iterations: int = 6
     rollout: rollout_mod.RolloutConfig = rollout_mod.RolloutConfig()
+    linearize: str = "ad"  # 'ad' (exact branch tangents) | 'fd' (central FD)
     fd_eps: float = 1e-5
     reg: float = 1e-3  # Levenberg damping on the condensed Hessian
     qp_iterations: int = 25  # ADMM iterations per QP
@@ -195,10 +196,12 @@ def solve(
         (_, _), (states, costs) = jax.lax.scan(body, (state0, prev_ctrl0), us)
         return states, jnp.sum(costs)
 
-    # FD linearization + AD cost expansion shared with iLQR
+    # linearization (AD default; see ilqr.ad_linearize on why FD is unsound
+    # across contact-branch switches) + AD cost expansion shared with iLQR
     def linearize(states, us):
-        return ilqr_mod.fd_linearize(m, step_fn, state0, states, us,
-                                     cfg.fd_eps)
+        return ilqr_mod.make_linearizer(cfg.linearize)(
+            m, step_fn, state0, states, us, cfg.fd_eps
+        )
 
     def cost_expansion(states, us):
         return ilqr_mod.quadratize_cost(m, cost_fn, cmd, states, us,
@@ -237,6 +240,10 @@ def solve(
         lo = jnp.tile(lo_u, H) - us.reshape(-1)
         hi = jnp.tile(hi_u, H) - us.reshape(-1)
         du = admm_box_qp(Hqp, g, lo, hi, iterations=cfg.qp_iterations)
+        # an overflowed condensation (f32 sensitivity products) NaNs the
+        # Cholesky; a zero step keeps the incumbent instead of stalling on
+        # NaN comparisons forever
+        du = jnp.where(jnp.isfinite(du), du, 0.0)
         du = du.reshape(H, nu)
 
         alphas = jnp.asarray(cfg.alphas, dt)
@@ -247,6 +254,7 @@ def solve(
             return cand, sts, c
 
         cand_us, cand_states, cand_cost = jax.vmap(try_alpha)(alphas)
+        cand_cost = jnp.where(jnp.isnan(cand_cost), jnp.inf, cand_cost)
         best = jnp.argmin(cand_cost)
         improved = cand_cost[best] < cost
         us_new = jnp.where(improved, cand_us[best], us)

@@ -68,3 +68,42 @@ def test_ilqr_reduces_cost(m):
     hi = np.asarray(m.actuator_ctrlrange[:, 1])
     u = np.asarray(res.ctrl_seq)
     assert (u >= lo - 1e-9).all() and (u <= hi + 1e-9).all()
+
+
+def test_ad_linearize_matches_fd_smooth_regime(m):
+    """jacfwd linearization == central FD in the contact-free (airborne)
+    regime, where the dynamics are smooth and FD is trustworthy. At
+    contact-rich states FD straddles the solver's branch switches
+    (O(1/eps) artifacts), which is exactly why AD is the default — so
+    the equivalence check must run where both are well-posed."""
+    st = engine.make_state(m, dtype=jnp.float64)  # reset pose is airborne
+    rcfg = rollout.RolloutConfig(horizon=2, frame_skip=1,
+                                 max_contacts=8, solver_iterations=2)
+
+    def step_fn(s, u):
+        return engine.control_step(m, s, u, rcfg.frame_skip,
+                                   max_contacts=rcfg.max_contacts,
+                                   solver_iterations=rcfg.solver_iterations)
+
+    us = jnp.tile(jnp.asarray(np.array([0.1, -0.2, 0.3] * 4)), (2, 1))
+
+    def traj(us):
+        def body(s, u):
+            s2 = step_fn(s, u)
+            return s2, s2
+        _, states = jax.lax.scan(body, st, us)
+        return states
+
+    states = jax.jit(traj)(us)
+    A_ad, B_ad = jax.jit(
+        lambda s, u: ilqr.ad_linearize(m, step_fn, st, s, u)
+    )(states, us)
+    A_fd, B_fd = jax.jit(
+        lambda s, u: ilqr.fd_linearize(m, step_fn, st, s, u, 1e-6)
+    )(states, us)
+    assert not np.isnan(np.asarray(A_ad)).any()
+    assert not np.isnan(np.asarray(B_ad)).any()
+    np.testing.assert_allclose(np.asarray(A_ad), np.asarray(A_fd),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(B_ad), np.asarray(B_fd),
+                               rtol=2e-4, atol=2e-5)
