@@ -393,9 +393,21 @@ class WalkingQuadrupedEnv(QuadrupedEnv):
         # honored exactly as in the reference README's headline usage.
         total_reward = 0.0
         self.info = {}
-        for _name, fn in self.reward_fns.items():
-            total_reward += float(fn())
+        reward_info = {}
+        for name, fn in self.reward_fns.items():
+            r = float(fn())
+            reward_info[name] = r
+            total_reward += r
         terminated = any(bool(fn()) for fn in self.termination_fns.values())
+        if not self.info:
+            # base-env contract for custom reward fns (quadruped.py:169-178):
+            # per-fn breakdown + time. The default composite instead publishes
+            # its per-component dict via input_control_reward (walking_quad
+            # .py:419), which replaces self.info inside the loop above.
+            self.info = {
+                "time": float(self.data.time),
+                "reward_components": reward_info,
+            }
         return (
             self._obs_np(out.obs),
             total_reward,

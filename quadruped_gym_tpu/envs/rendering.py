@@ -42,11 +42,12 @@ class WireframeRenderer:
         self.model = model
         self.width = width
         self.height = height
-        # precompute kinematic-tree edges (parent body -> body)
+        # precompute kinematic-tree edges (parent body -> body); world-rooted
+        # edges are skipped here so render() draws only intra-robot links
         self.edges = [
             (int(model.body_parentid[b]), b)
             for b in range(1, model.nbody)
-            if model.body_parentid[b] != 0 or True
+            if model.body_parentid[b] != 0
         ]
         import mujoco
 
@@ -108,8 +109,6 @@ class WireframeRenderer:
         xpos = np.asarray(data.xpos)
         leg_colors = [(180, 90, 30), (30, 90, 180), (30, 160, 30), (140, 30, 150)]
         for parent, b in self.edges:
-            if parent == 0:
-                continue
             # color by leg: bodies are laid out base, then 3 per leg
             leg = (b - 2) // 3 if b >= 2 else -1
             color = leg_colors[leg % 4] if leg >= 0 else (40, 40, 40)

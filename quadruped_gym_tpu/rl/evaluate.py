@@ -54,6 +54,9 @@ def eval_rollout(
     if partial_obs:
         kwargs["obs_window"] = obs_window
     env = env_cls(**kwargs)
+    # control-step duration from the compiled model (not a hardcoded 0.002,
+    # which would silently break if the model timestep changed — ADVICE r2)
+    step_dt = float(env.pm.timestep) * frame_skip
     # fixed evaluation command (eval_quadruped.py:13-14)
     env.control_inputs.set_orientation(heading)
     env.control_inputs.set_velocity_speed_alpha(speed, heading)
@@ -92,7 +95,7 @@ def eval_rollout(
         "rewards": rewards_hist,
         "episode_return": float(sum(rewards_hist)),
         "steps": len(rewards_hist),
-        "survived": len(rewards_hist) * frame_skip * 0.002 >= max_time - 1e-6,
+        "survived": len(rewards_hist) * step_dt >= max_time - 1e-6,
         "mean_tracking_error": float(np.mean(track_err)),
         "final_tracking_error": float(np.mean(track_err[-100:])),
         "mean_uprightness": float(np.mean(upright)),

@@ -158,22 +158,27 @@ def main(argv=None):
             f"kl {float(history.approx_kl[-1]):.4f}"
         )
 
-        # per-iteration artifacts (train_quadruped.py:143-164)
-        steps, totals, allcomp, keys = metrics_mod.read_reward_csv(csv_path)
-        plot_mod.plot_data_line(
-            totals, window=50, title="Mean step reward",
-            save_path=os.path.join(out, "plots", f"reward_plot_{it}.png"),
-        )
-        plot_mod.plot_reward_components(
-            allcomp, keys,
-            os.path.join(out, "plots", f"reward_components_{it}.html"),
-        )
+        # per-iteration artifacts (train_quadruped.py:143-164); process 0
+        # only — plots are host-side files on possibly-shared storage
+        if jax.process_index() == 0:
+            steps, totals, allcomp, keys = metrics_mod.read_reward_csv(csv_path)
+            plot_mod.plot_data_line(
+                totals, window=50, title="Mean step reward",
+                save_path=os.path.join(out, "plots", f"reward_plot_{it}.png"),
+            )
+            plot_mod.plot_reward_components(
+                allcomp, keys,
+                os.path.join(out, "plots", f"reward_components_{it}.html"),
+            )
 
         # per-iteration eval rollout + video (train_quadruped.py:171-193):
         # a fresh single env under the fixed 0.2 m/s command, deterministic
         # policy, recorded to videos/run_{it}.mp4; walking-quality metrics
         # (tracking error, uprightness, survival) appended to JSONL
-        if not args.no_eval:
+        # host-side artifact: only process 0 of a multi-host run evals and
+        # appends (otherwise every host plays a duplicate episode and races
+        # on videos/ + eval_metrics.jsonl — ADVICE r2)
+        if not args.no_eval and jax.process_index() == 0:
             from . import evaluate as eval_mod
 
             os.makedirs(os.path.join(out, "videos"), exist_ok=True)

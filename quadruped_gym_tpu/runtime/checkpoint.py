@@ -24,16 +24,40 @@ def _flatten(tree: Any):
     return leaves, treedef
 
 
+_ORBAX_MARKERS = (
+    "_CHECKPOINT_METADATA", "checkpoint", "manifest.ocdbt", "_METADATA", "d",
+)
+
+
+def _looks_like_orbax(path: str) -> bool:
+    if not os.path.isdir(path) or os.path.exists(os.path.join(path, "state.npz")):
+        return False
+    entries = set(os.listdir(path))
+    if entries & set(_ORBAX_MARKERS):
+        return True
+    # orbax CheckpointManager layout: numbered step dirs containing the above
+    return any(
+        e.isdigit()
+        and os.path.isdir(os.path.join(path, e))
+        and set(os.listdir(os.path.join(path, e))) & set(_ORBAX_MARKERS)
+        for e in entries
+    )
+
+
 def save(path: str, tree: Any, step: Optional[int] = None) -> None:
     """Save a pytree. Directory layout: <path>/state.npz + meta.json.
 
     Atomic: both files are written to temporaries and renamed into place
     (state first, meta last), so a crash mid-save can never leave a
     restore-able meta.json pointing at a torn state.npz — crash resume
-    (rl/train.py) always sees the last complete checkpoint."""
+    (rl/train.py) always sees the last complete checkpoint. The step is
+    stored inside the npz itself, so even a crash between the two renames
+    cannot pair step-N meta with step-N+1 state (restore trusts the npz)."""
     os.makedirs(path, exist_ok=True)
     leaves, _ = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    if step is not None:
+        arrays["__step__"] = np.asarray(int(step), dtype=np.int64)
     # np.savez appends ".npz" to names without it — keep the suffix last
     tmp_state = os.path.join(path, ".state.tmp.npz")
     np.savez(tmp_state, **arrays)
@@ -47,6 +71,12 @@ def save(path: str, tree: Any, step: Optional[int] = None) -> None:
 
 def restore(path: str, example_tree: Any):
     """Restore into the structure of example_tree. Returns (tree, step)."""
+    if _looks_like_orbax(path):
+        raise ValueError(
+            f"{path!r} looks like an Orbax checkpoint (round-1 format). This "
+            "restore reads the npz+meta layout only — re-save with "
+            "checkpoint.save(), or restore with orbax.checkpoint directly."
+        )
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     data = np.load(os.path.join(path, "state.npz"))
@@ -56,7 +86,10 @@ def restore(path: str, example_tree: Any):
         np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
         for i, l in enumerate(leaves)
     ]
-    return jax.tree_util.tree_unflatten(treedef, new_leaves), meta.get("step")
+    # the npz-embedded step is authoritative (written atomically with the
+    # leaves); meta.json's copy is a fallback for older checkpoints
+    step = int(data["__step__"]) if "__step__" in data else meta.get("step")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), step
 
 
 def exists(path: str) -> bool:

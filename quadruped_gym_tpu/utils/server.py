@@ -17,7 +17,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .metrics import read_reward_csv
 
-_PAGE = """<!DOCTYPE html>
+_PAGE = r"""<!DOCTYPE html>
 <html><head><title>quadruped-gym-tpu training</title>
 <style>
  body{font-family:sans-serif;margin:20px;background:#fafafa}
