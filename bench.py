@@ -9,47 +9,141 @@ configuration: the closed-loop study in DOCS.md §5 measured budgets
 2/4, 4/8 and 8/12 to track a commanded walk identically (mean velocity
 error 0.049-0.055 m/s, all upright), receding-horizon feedback
 absorbing solver truncation. Prints ONE JSON line.
+
+Resilience: the axon TPU tunnel intermittently fails or hangs at backend
+init (it cost round 2 its perf capture — BENCH_r02.json rc=1). The
+parent process therefore (1) probes the backend in a short-timeout child
+with bounded retry/backoff, (2) runs the real bench in a long-timeout
+child, and (3) on unrecoverable failure still prints ONE structured JSON
+line with an "error" field instead of a traceback.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-
-# persistent compile cache: the lane engine's unrolled step is a big XLA
-# program (~minutes first compile); repeated bench runs skip it
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-
 
 BASELINE_ROLLOUTS_PER_S = 100_000.0
 
+_PROBE_ATTEMPTS = 5
+_PROBE_TIMEOUT_S = 240.0
+_PROBE_BACKOFF_S = (15.0, 30.0, 60.0, 120.0)
+# cold Mosaic compile of the fused whole-rollout kernel through the
+# tunnel has been observed at ~25 min; warm (persistent-cache) runs
+# finish in ~1 min
+_BENCH_TIMEOUT_S = 3000.0
+_BENCH_ATTEMPTS = 2
 
-def main(argv=None):
-    import argparse
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--plant", choices=("planning", "full"), default="planning",
-        help="planning: feet-only decimated hulls at the quality-validated "
-        "2/4 newton/linesearch budget (headline). full: the full lower-leg "
-        "collision plant (feet+shins+ankle servos) at the conservative 4/8 "
-        "budget.",
+def _fail_soft(metric, error):
+    print(json.dumps({
+        "metric": metric,
+        "value": 0.0,
+        "unit": "rollouts/s",
+        "vs_baseline": 0.0,
+        "error": error[:2000],
+    }))
+
+
+def _run_child(argv, timeout):
+    """Run this script in a child process; return (rc, stdout_tail, timed_out)."""
+    env = dict(os.environ)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+        return p.returncode, (p.stdout or "") + "\n" + (p.stderr or "")[-2000:], False
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"")
+        if isinstance(out, bytes):
+            out = out.decode("utf-8", "replace")
+        return -1, out, True
+
+
+def _extract_json_line(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                obj = json.loads(line)
+                if "metric" in obj:
+                    return line
+            except (ValueError, TypeError):
+                continue
+    return None
+
+
+def supervise(argv):
+    metric = (
+        "mpc_rollouts_per_s_per_chip_H50_full_plant"
+        if "full" in argv else "mpc_rollouts_per_s_per_chip_H50"
     )
-    ap.add_argument("--block", type=int, default=None,
-                    help="Pallas batch tile (default: engine default)")
-    args = ap.parse_args(argv)
+    # phase 1: cheap backend probe with retry/backoff — detects a down
+    # tunnel in minutes instead of burning a 50-min bench attempt on it
+    last_err = "backend probe never ran"
+    for attempt in range(_PROBE_ATTEMPTS):
+        rc, out, timed_out = _run_child(["--_probe"], _PROBE_TIMEOUT_S)
+        if rc == 0:
+            break
+        last_err = (
+            f"probe attempt {attempt + 1}/{_PROBE_ATTEMPTS} "
+            + ("timed out" if timed_out else f"rc={rc}")
+            + ": " + out.strip()[-500:]
+        )
+        print(f"# {last_err}", file=sys.stderr)
+        if attempt + 1 < _PROBE_ATTEMPTS:
+            time.sleep(_PROBE_BACKOFF_S[min(attempt, len(_PROBE_BACKOFF_S) - 1)])
+    else:
+        _fail_soft(metric, "TPU backend unavailable after retries: " + last_err)
+        return 0
+
+    # phase 2: the real bench, long timeout (cold kernel compile)
+    for attempt in range(_BENCH_ATTEMPTS):
+        rc, out, timed_out = _run_child(argv + ["--_child"], _BENCH_TIMEOUT_S)
+        line = _extract_json_line(out)
+        if rc == 0 and line is not None:
+            print(line)
+            return 0
+        last_err = (
+            f"bench attempt {attempt + 1}/{_BENCH_ATTEMPTS} "
+            + ("timed out" if timed_out else f"rc={rc}")
+            + ": " + out.strip()[-500:]
+        )
+        print(f"# {last_err}", file=sys.stderr)
+        if attempt + 1 < _BENCH_ATTEMPTS:
+            time.sleep(30.0)
+    _fail_soft(metric, last_err)
+    return 0
+
+
+def probe():
+    import jax
+
+    x = jax.numpy.ones((128, 128))
+    s = float(jax.numpy.sum(x @ x))
+    print(f"# probe ok: {jax.devices()} sum={s}", file=sys.stderr)
+
+
+def run_bench(args):
+    import jax
+
+    # persistent compile cache: the fused rollout kernel is a big Mosaic
+    # program (~minutes first compile); repeated bench runs skip it
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from quadruped_gym_tpu.models import spec
     from quadruped_gym_tpu.physics import engine
     from quadruped_gym_tpu.solvers import rollout
+    from quadruped_gym_tpu.tasks import commands
 
     full_plant = args.plant == "full"
     m = spec.get_fast_plant_model() if full_plant else spec.get_planning_model()
@@ -60,12 +154,10 @@ def main(argv=None):
     )
     cfg = rollout.RolloutConfig(horizon=50, frame_skip=5)
     # rollouts per solve: large enough to amortize the ~30 ms axon-tunnel
-    # round trip per dispatch (device-side cost is ~5 ms per 1024 lanes;
-    # throughput asymptotes ~205k r/s)
+    # round trip per dispatch (device-side cost is ~5 ms per 1024 lanes)
     S = 65536
     cost_fn = rollout.make_cost_fn(m)
     state = engine.make_state(m)
-    from quadruped_gym_tpu.tasks import commands
 
     cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
     prev = jnp.asarray(np.array([0.0, 0.0, -0.5] * 4), jnp.float32)
@@ -80,19 +172,23 @@ def main(argv=None):
             **kw,
         )
 
-    # distinct control batches per timed iteration: the axon TPU tunnel
-    # memoizes executions on bitwise-identical inputs, which would fake
-    # the timing (see tests/conftest.py note / memory)
+    # distinct, time-seeded control batches per timed iteration: the axon
+    # TPU tunnel memoizes executions on bitwise-identical (program, input)
+    # pairs and the memo persists ACROSS processes, so PRNGKey-seeded
+    # inputs would repeat bit-exactly between runs and read ~0 ms
     iters = 5
+    rng = np.random.default_rng(time.time_ns())
     all_seqs = [
         jnp.clip(
-            prev[None, None]
-            + 0.2 * jax.random.normal(
-                jax.random.PRNGKey(i), (S, cfg.horizon, m.nu)
+            jnp.asarray(
+                np.asarray(prev)[None, None]
+                + 0.2 * rng.standard_normal(
+                    (S, cfg.horizon, m.nu), dtype=np.float32
+                ),
             ),
             -1.0, 1.0,
-        ).astype(jnp.float32)
-        for i in range(iters + 1)
+        )
+        for _ in range(iters + 1)
     ]
 
     jax.block_until_ready(score(all_seqs[-1]))  # compile + warm up
@@ -116,5 +212,36 @@ def main(argv=None):
     }))
 
 
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--plant", choices=("planning", "full"), default="planning",
+        help="planning: feet-only decimated hulls at the quality-validated "
+        "2/4 newton/linesearch budget (headline). full: the full lower-leg "
+        "collision plant (feet+shins+ankle servos) at the conservative 4/8 "
+        "budget.",
+    )
+    ap.add_argument("--block", type=int, default=None,
+                    help="Pallas batch tile (default: engine default)")
+    ap.add_argument("--_probe", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--no-retry", action="store_true",
+                    help="run in-process without the supervising parent")
+    args = ap.parse_args(argv)
+
+    if args._probe:
+        probe()
+        return 0
+    if args._child or args.no_retry:
+        run_bench(args)
+        return 0
+    sup_argv = ["--plant", args.plant]
+    if args.block is not None:
+        sup_argv += ["--block", str(args.block)]
+    return supervise(sup_argv)
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
