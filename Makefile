@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: help test test-all test-fast bench train eval dryrun example walk sweep clean
+.PHONY: help test test-all test-fast bench train eval dryrun example walk sweep gait latency clean
 
 help:
 	@echo "targets:"
@@ -18,6 +18,8 @@ help:
 	@echo "  example   - random-actuation rollout + joint-angle plot"
 	@echo "  walk      - closed-loop MPC walk (fused Pallas planner, TPU)"
 	@echo "  sweep     - domain-randomized scenario sweep (fused kernel, TPU)"
+	@echo "  gait      - H=50 gradient gait optimization report (SQP/iLQR, TPU)"
+	@echo "  latency   - real-time loop latency + fused-kernel roofline report (TPU)"
 
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"
@@ -48,6 +50,12 @@ walk:
 
 sweep:
 	$(PY) examples/scenario_sweep.py
+
+gait:
+	$(PY) examples/gait_sqp.py --solver sqp --horizon 50
+
+latency:
+	$(PY) scripts/latency_report.py
 
 clean:
 	rm -rf .jax_cache __pycache__ */__pycache__ plots videos runs

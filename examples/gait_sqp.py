@@ -140,16 +140,21 @@ def main(argv=None):
                    help="condense through shard_map+psum over all devices")
     p.add_argument("--f64-cpu", action="store_true",
                    help="run in f64 on the CPU backend (oracle mode)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run in f32 on the CPU backend (tunnel-independent "
+                        "rehearsal of the TPU configuration)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    on_cpu = args.f64_cpu or args.cpu
     if args.f64_cpu:
         jax.config.update("jax_enable_x64", True)
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
         dtype = jnp.float64
     else:
         dtype = jnp.float32
-    dev = jax.devices("cpu")[0] if args.f64_cpu else jax.devices()[0]
+    if on_cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    dev = jax.devices("cpu")[0] if on_cpu else jax.devices()[0]
     print(f"device: {dev}, dtype: {dtype.__name__}")
 
     # the plant-fidelity model: full lower-leg collision set with
@@ -180,7 +185,7 @@ def main(argv=None):
     if args.shard:
         from quadruped_gym_tpu import parallel
 
-        devs = jax.devices() if not args.f64_cpu else jax.devices("cpu")
+        devs = jax.devices("cpu") if on_cpu else jax.devices()
         mesh = parallel.make_mesh(devs, axis_names=("horizon",))
         print(f"condensation sharded over {mesh.devices.size} device(s)")
 

@@ -1,0 +1,200 @@
+"""Real-time MPC latency + roofline artifact (VERDICT r2 next-round #6).
+
+Quantifies the BASELINE "<10 ms MPC solve / 100 Hz inner loop" budget on
+the real chip, separating DEVICE time from the axon tunnel's fixed
+dispatch overhead (~30 ms per call on this sandbox, absent on a
+directly-attached chip):
+
+1. N-step on-device closed loop: ``runtime.delayed_closed_loop`` (the
+   one-period-delay real-time pipeline) jitted as a single scan. Timing
+   it at two different N isolates the slope — device time per 100 Hz
+   control step — from the per-dispatch intercept.
+2. Tunnel overhead: a trivial dispatch, timed the same way.
+3. Roofline/MFU of the fused whole-rollout kernel: analytic FLOPs from
+   XLA cost analysis of the mathematically-identical unfused engine
+   (cost analysis cannot see inside a Mosaic custom call), divided by
+   the fused kernel's measured wall time and the v5e peak.
+
+Writes artifacts/latency_report.json. Run on the TPU:
+    python scripts/latency_report.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from quadruped_gym_tpu.models import spec
+from quadruped_gym_tpu.physics import engine
+from quadruped_gym_tpu.runtime import mpc_runtime
+from quadruped_gym_tpu.solvers import mppi, rollout
+from quadruped_gym_tpu.tasks import commands
+from quadruped_gym_tpu.utils import profiling
+
+HOLD = np.array([0.0, 0.0, -0.5] * 4)
+
+
+def _timed(fn, *args, reps=3):
+    """Median of reps synchronous timings (block per call)."""
+    ts = []
+    for _ in range(reps):
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    rng = np.random.default_rng(time.time_ns())  # axon memoization dodge
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+
+    m = spec.get_planning_model()
+    cost_fn = rollout.make_cost_fn(m)
+    cfg = mpc_runtime.MPCConfig(
+        solver="mppi",
+        mppi=mppi.MPPIConfig(
+            num_samples=1024, sigma=0.2, iterations=1,
+            rollout=rollout.RolloutConfig(horizon=50, frame_skip=5),
+            lane=True, lane_engine_impl="fused",
+            lane_newton_iterations=2, lane_ls_iterations=4,
+        ),
+        plant_frame_skip=5,
+    )
+    cmd = commands.make(jnp.asarray([0.2, 0.0]), jnp.asarray(0.0))
+
+    def run_loop(n_steps):
+        f = jax.jit(lambda carry, phys: mpc_runtime.delayed_closed_loop(
+            m, cfg, cost_fn, carry, phys, cmd, n_steps
+        )[2][0])
+
+        def fresh_inputs():
+            carry = mpc_runtime.init_carry(
+                m, cfg, 50, jax.random.PRNGKey(int(rng.integers(2**31)))
+            )
+            st = engine.make_state(m)
+            st = st._replace(
+                qvel=st.qvel + jnp.asarray(
+                    1e-4 * rng.standard_normal(st.qvel.shape), jnp.float32)
+            )
+            return carry, st
+
+        jax.block_until_ready(f(*fresh_inputs()))  # compile
+        return _timed(lambda: f(*fresh_inputs())), f
+
+    print("compiling closed loops (N=25, N=100)...")
+    t25, _ = run_loop(25)
+    t100, _ = run_loop(100)
+    per_step_s = (t100 - t25) / 75.0
+    intercept_s = t25 - 25 * per_step_s
+
+    # tunnel/dispatch overhead on a trivial program
+    x = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    triv = jax.jit(lambda v: v + 1.0)
+    jax.block_until_ready(triv(x))
+    t_triv = _timed(triv, x, reps=5)
+
+    # single blocking solve (what a naive host loop would pay per step)
+    carry0 = mpc_runtime.init_carry(m, cfg, 50, jax.random.PRNGKey(0))
+    st0 = engine.make_state(m)
+    solve1 = jax.jit(lambda c, s: mpc_runtime.plan_and_act(
+        m, cfg, cost_fn, c, s, cmd)[0])
+    jax.block_until_ready(solve1(carry0, st0))
+    t_solve1 = _timed(lambda: jax.block_until_ready(solve1(*(
+        mpc_runtime.init_carry(
+            m, cfg, 50, jax.random.PRNGKey(int(rng.integers(2**31)))),
+        st0._replace(qvel=st0.qvel + jnp.asarray(
+            1e-4 * rng.standard_normal(st0.qvel.shape), jnp.float32)),
+    ))))
+
+    # --- roofline / MFU of the fused rollout kernel -----------------------
+    S = 4096
+    state = engine.make_state(m)
+    prev = jnp.asarray(HOLD, jnp.float32)
+    rcfg = cfg.mppi.rollout
+    seqs = jnp.clip(
+        jnp.asarray(prev)[None, None]
+        + 0.2 * jnp.asarray(
+            rng.standard_normal((S, 50, m.nu)), jnp.float32),
+        -1.0, 1.0,
+    )
+
+    def score_fused(s):
+        return rollout.lane_batched_rollout_cost(
+            m, rcfg, cost_fn, state, s, cmd, prev,
+            newton_iterations=2, ls_iterations=4, engine_impl="fused",
+        )
+
+    def score_xla(s):
+        return rollout.lane_batched_rollout_cost(
+            m, rcfg, cost_fn, state, s, cmd, prev,
+            newton_iterations=2, ls_iterations=4, engine_impl="lane",
+        )
+
+    jax.block_until_ready(jax.jit(score_fused)(seqs))
+    t_fused = _timed(jax.jit(score_fused), seqs)
+    print("cost analysis of the unfused engine (analytic FLOPs)...")
+    cs = profiling.cost_summary(score_xla, seqs)
+    mfu = cs.flop_time_s / t_fused
+    bw_frac = cs.mem_time_s / t_fused
+
+    report = {
+        "device": str(dev),
+        "config": {
+            "solver": "mppi", "samples": 1024, "horizon": 50,
+            "frame_skip": 5, "control_rate_hz": 100,
+            "newton_ls_budget": "2/4", "plant": "planning",
+        },
+        "closed_loop": {
+            "device_time_per_control_step_ms": per_step_s * 1e3,
+            "meets_10ms_budget": per_step_s < 0.010,
+            "headroom_x": 0.010 / max(per_step_s, 1e-9),
+            "dispatch_intercept_ms": intercept_s * 1e3,
+            "loop_s_N25": t25, "loop_s_N100": t100,
+            "note": "slope of T(N) over the on-device delayed_closed_loop "
+                    "scan: pure device time per 100 Hz control step; the "
+                    "intercept is per-dispatch overhead (axon tunnel), "
+                    "absent on a directly-attached chip",
+        },
+        "tunnel": {
+            "trivial_dispatch_ms": t_triv * 1e3,
+            "single_blocking_solve_ms": t_solve1 * 1e3,
+        },
+        "fused_kernel_roofline": {
+            "samples": S,
+            "wall_s": t_fused,
+            "analytic_flops": cs.flops,
+            "analytic_bytes": cs.bytes_accessed,
+            "mfu_fraction_of_f32_peak": mfu,
+            "hbm_fraction_of_peak": bw_frac,
+            "rollouts_per_s": S / t_fused,
+            "note": "FLOPs from XLA cost analysis of the unfused lane "
+                    "engine (identical math); the Mosaic kernel is opaque "
+                    "to cost analysis",
+        },
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "latency_report.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
