@@ -58,7 +58,7 @@ HOLD = np.array([0.0, 0.0, -0.5] * 4)
 
 
 def sine_warm_start(horizon, ctrl_dt, dtype,
-                    freq_hz=1.5, hip_amp=0.15, knee_amp=0.15):
+                    freq_hz=2.5, hip_amp=0.2, knee_amp=0.15):
     """Trot-phased sinusoidal leg pattern around the standing hold.
 
     Gradient gait optimization from the exact standing fixed point stalls:
@@ -132,6 +132,11 @@ def main(argv=None):
                    help="initial guess: trot-phased sine (default) or the "
                         "standing hold (stalls: rest is a symmetric "
                         "stationary point of the smoothed cost)")
+    p.add_argument("--init-freq", type=float, default=2.5,
+                   help="warm-start trot frequency (Hz); selects the "
+                        "local basin the gradient solver refines")
+    p.add_argument("--init-hip-amp", type=float, default=0.2)
+    p.add_argument("--init-knee-amp", type=float, default=0.15)
     p.add_argument("--smooth-eps", type=float, default=0.02,
                    help="velocity-norm smoothing of the progress terms "
                         "(m/s); 0 = the exact task cost, whose gradient "
@@ -173,7 +178,9 @@ def main(argv=None):
     prev = jnp.asarray(HOLD, dtype)
     if args.init == "sine":
         us0 = sine_warm_start(
-            args.horizon, args.frame_skip * 0.002, dtype
+            args.horizon, args.frame_skip * 0.002, dtype,
+            freq_hz=args.init_freq, hip_amp=args.init_hip_amp,
+            knee_amp=args.init_knee_amp,
         )
     else:
         us0 = jnp.tile(prev, (args.horizon, 1))
