@@ -15,6 +15,11 @@ from .mesh import (  # noqa: F401
     replicated,
     sharded_on,
 )
+from .pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    pipelined_mppi_plan,
+    pipelined_rollout_cost,
+)
 from .sharded_mpc import (  # noqa: F401
     sharded_batch_mppi_plan,
     sharded_mppi_plan,

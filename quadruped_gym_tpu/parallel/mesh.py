@@ -7,10 +7,14 @@ equivalent is a ``jax.sharding.Mesh`` over the slice:
 - ``sample`` axis: MPC rollout samples (the embarrassingly parallel axis;
   collectives only at the weighting reduction — a psum riding ICI).
 - ``data`` axis: environment batch for RL training (gradients psum over it).
+- ``horizon`` axis: iLQR/SQP horizon-block QP condensation (solvers/sqp.py,
+  one psum assembles the condensed system — the TP-analog reduction).
+- ``stage`` axis: GPipe-style horizon pipeline (parallel/pipeline.py,
+  segment boundary states hop stages via ppermute — the PP analog).
 
-Both axes are interchangeable data-parallel axes; there is no tensor or
-pipeline dimension in this workload (the policy is a tiny MLP and the
-physics state is 18-dim), so the mesh is deliberately 1-2D.
+There is no tensor dimension in the *model* itself (the policy is a tiny
+MLP and the physics state is 18-dim), so meshes stay 1-2D; the horizon
+is the dimension that shards when one chip isn't enough for a solve.
 """
 
 from __future__ import annotations
