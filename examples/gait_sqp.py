@@ -128,10 +128,15 @@ def main(argv=None):
     p.add_argument("--speed", type=float, default=0.2)
     p.add_argument("--tune-eps", action="store_true",
                    help="sweep FD epsilon (one compile, traced scalar)")
-    p.add_argument("--init", choices=("sine", "hold"), default="sine",
-                   help="initial guess: trot-phased sine (default) or the "
+    p.add_argument("--init", choices=("sine", "hold", "mppi"), default="sine",
+                   help="initial guess: trot-phased sine (default), the "
                         "standing hold (stalls: rest is a symmetric "
-                        "stationary point of the smoothed cost)")
+                        "stationary point of the smoothed cost), or 'mppi' "
+                        "— a few sampling-MPC refinements of the sine seed "
+                        "(hybrid global-search + gradient-polish, the "
+                        "standard escape from poor local basins)")
+    p.add_argument("--mppi-samples", type=int, default=64)
+    p.add_argument("--mppi-iters", type=int, default=4)
     p.add_argument("--init-freq", type=float, default=2.5,
                    help="warm-start trot frequency (Hz); selects the "
                         "local basin the gradient solver refines")
@@ -176,7 +181,7 @@ def main(argv=None):
         jnp.asarray([args.speed, 0.0], dtype), jnp.asarray(0.0, dtype)
     )
     prev = jnp.asarray(HOLD, dtype)
-    if args.init == "sine":
+    if args.init in ("sine", "mppi"):
         us0 = sine_warm_start(
             args.horizon, args.frame_skip * 0.002, dtype,
             freq_hz=args.init_freq, hip_amp=args.init_hip_amp,
@@ -187,6 +192,27 @@ def main(argv=None):
 
     state0 = settle_state(m, dtype)
     print(f"settled stance: z={float(state0.qpos[2]):.4f}")
+
+    mppi_seed_cost = None
+    if args.init == "mppi":
+        # hybrid warm start: a few sampling-MPC refinements of the sine
+        # seed find a lower basin globally, then the gradient solver
+        # polishes within it (sampling explores, gradients converge)
+        from quadruped_gym_tpu.solvers import mppi as mppi_mod
+
+        mcfg = mppi_mod.MPPIConfig(
+            num_samples=args.mppi_samples, sigma=0.15, temperature=1.0,
+            iterations=args.mppi_iters, rollout=rcfg,
+        )
+        t0 = time.time()
+        res = jax.jit(
+            lambda s, u, k: mppi_mod.plan(m, mcfg, cost_fn, s, u, cmd, prev, k)
+        )(state0, us0, jax.random.PRNGKey(0))
+        jax.block_until_ready(res.mean)
+        us0 = jnp.clip(res.mean, -1.0, 1.0)
+        mppi_seed_cost = float(res.best_cost)
+        print(f"mppi warm start ({args.mppi_samples}x{args.mppi_iters}): "
+              f"best cost {mppi_seed_cost:.1f} in {time.time()-t0:.1f}s")
 
     mesh = None
     if args.shard:
@@ -250,6 +276,7 @@ def main(argv=None):
         "sharded_condensation": bool(args.shard),
         "command_speed": args.speed,
         "init": args.init,
+        "mppi_seed_cost": mppi_seed_cost,
         "vel_smooth_eps": args.smooth_eps,
         "standing_hold_cost": hold_cost,
         "runs": [],
