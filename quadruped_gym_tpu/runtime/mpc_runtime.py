@@ -59,6 +59,43 @@ def init_carry(
     )
 
 
+def lane_control_step(
+    m: PhysicsModel,
+    phys: engine.State,
+    ctrl: jnp.ndarray,
+    frame_skip: int,
+    solver_iterations: int = 4,
+    ls_iterations: int = 8,
+) -> engine.State:
+    """Advance ONE ``engine.State`` a control period through the
+    batch-minor leg engine, duplicated across an 8-lane sublane.
+
+    At batch 1 the AoS engine compiles to thousands of scalar HLO ops
+    (~5 ms/step measured on v5e); the leg engine's wide lane ops do the
+    same physics in ~0.2 ms, which matters inside the 10 ms / 100 Hz
+    real-time budget (the predictor step of ``delayed_closed_loop`` is
+    controller work on a real robot, unlike the plant step)."""
+    from ..ops import lane_engine, leg_engine
+
+    B = 8  # one f32 sublane
+    ls = lane_engine.LaneState(
+        qpos=jnp.broadcast_to(phys.qpos[:, None], (m.nq, B)),
+        qvel=jnp.broadcast_to(phys.qvel[:, None], (m.nv, B)),
+        act=jnp.broadcast_to(phys.act[:, None], (m.na, B)),
+        time=jnp.broadcast_to(phys.time, (B,)),
+        sensordata=jnp.broadcast_to(
+            phys.sensordata[:, None], (m.nsensordata, B)),
+    )
+    ls = leg_engine.control_step(
+        m, ls, jnp.broadcast_to(ctrl[:, None], (m.nu, B)), frame_skip,
+        solver_iterations=solver_iterations, ls_iterations=ls_iterations,
+    )
+    return engine.State(
+        qpos=ls.qpos[:, 0], qvel=ls.qvel[:, 0], act=ls.act[:, 0],
+        time=ls.time[0], sensordata=ls.sensordata[:, 0],
+    )
+
+
 def plan_and_act(
     m: PhysicsModel,
     cfg: MPCConfig,
@@ -132,6 +169,7 @@ def delayed_closed_loop(
     cmd: Command,
     n_steps: int,
     plant_model: Optional[PhysicsModel] = None,
+    predictor: str = "auto",
 ):
     """Closed loop with a one-control-period computation delay — the
     real-time MPC pipeline pattern.
@@ -148,19 +186,53 @@ def delayed_closed_loop(
     exactly for on-device evaluation and tuning.
 
     Returns (final_carry, final_phys, stacked per-step
-    (applied_ctrl, sensordata, best_cost))."""
+    (applied_ctrl, sensordata, best_cost)).
+
+    ``predictor`` selects the engine for the one-step state prediction
+    (controller-side work, inside the real-time budget): "lane" uses the
+    batch-minor leg engine (~25x cheaper at batch 1 on TPU), "aos" the
+    scalar AoS engine, "auto" picks lane when the model is leg-compatible
+    and the planner itself scores through a lane engine."""
     pm_plant = plant_model if plant_model is not None else m
     rcfg = cfg.rollout
+    if predictor == "auto":
+        from ..ops import leg_engine as _leg
+
+        lane_planner = (
+            cfg.solver == "mppi" and cfg.mppi.lane
+            or cfg.solver == "cem" and getattr(cfg.cem, "lane", False)
+        )
+        predictor = (
+            "lane" if lane_planner and _leg.is_compatible(m) else "aos"
+        )
+    if predictor == "lane":
+        newton, lsit = (
+            (cfg.mppi.lane_newton_iterations, cfg.mppi.lane_ls_iterations)
+            if cfg.solver == "mppi"
+            else (cfg.cem.lane_newton_iterations, cfg.cem.lane_ls_iterations)
+        )
+
+        def predict(phys, pending):
+            return lane_control_step(
+                m, phys, pending, cfg.plant_frame_skip,
+                solver_iterations=newton, ls_iterations=lsit,
+            )
+    elif predictor == "aos":
+
+        def predict(phys, pending):
+            return engine.control_step(
+                m, phys, pending, cfg.plant_frame_skip,
+                max_contacts=rcfg.max_contacts,
+                solver_iterations=rcfg.solver_iterations,
+            )
+    else:
+        raise ValueError(f"unknown predictor {predictor!r}")
 
     def body(c, _):
         carry, phys, pending = c
         # predict the state after the currently-actuating control —
         # the planner model plays the role of the onboard predictor
-        pred = engine.control_step(
-            m, phys, pending, cfg.plant_frame_skip,
-            max_contacts=rcfg.max_contacts,
-            solver_iterations=rcfg.solver_iterations,
-        )
+        pred = predict(phys, pending)
         # the solve that (on hardware) overlaps this control period
         ctrl_next, carry, info = plan_and_act(
             m, cfg, cost_fn, carry, pred, cmd

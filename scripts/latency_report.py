@@ -58,6 +58,29 @@ def _timed(fn, *args, reps=3):
     return float(np.median(ts))
 
 
+def _timed_scan_ms(make_body, init, rng, k=20, reps=3):
+    """Device time per step of a K-step on-device scan (tunnel-free)."""
+
+    @jax.jit
+    def run(c0):
+        c, _ = jax.lax.scan(make_body(), c0, None, length=k)
+        return c
+
+    jax.block_until_ready(run(init))  # compile
+    ts = []
+    for _ in range(reps):
+        init2 = jax.tree.map(
+            lambda x: x + jnp.asarray(
+                1e-5 * rng.standard_normal(np.shape(x)), x.dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            init)
+        jax.block_until_ready(init2)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(init2))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / k * 1e3
+
+
 def main():
     rng = np.random.default_rng(time.time_ns())  # axon memoization dodge
     dev = jax.devices()[0]
@@ -102,6 +125,37 @@ def main():
     per_step_s = (t100 - t25) / 75.0
     intercept_s = t25 - 25 * per_step_s
 
+    # controller-side real-time work per 100 Hz period: the one-step
+    # state prediction (lane engine) + the MPPI solve — what an onboard
+    # TPU must finish inside 10 ms. The plant step of the sim loop is
+    # physical reality on a robot and is excluded.
+    print("timing controller work (predict + solve) in a K-scan...")
+    carry_rt = mpc_runtime.init_carry(m, cfg, 50, jax.random.PRNGKey(1))
+    st_rt = engine.make_state(m)
+
+    def body_controller():
+        def body(c, _):
+            carry, phys, pending = c
+            pred = mpc_runtime.lane_control_step(
+                m, phys, pending, cfg.plant_frame_skip,
+                solver_iterations=cfg.mppi.lane_newton_iterations,
+                ls_iterations=cfg.mppi.lane_ls_iterations)
+            ctrl_next, carry, _ = mpc_runtime.plan_and_act(
+                m, cfg, cost_fn, carry, pred, cmd)
+            # keep the loop honest: the plant is frozen (reality), only
+            # controller work is timed; feed ctrl back so nothing is DCE'd
+            return (carry, phys, ctrl_next), None
+        return body
+
+    controller_ms = _timed_scan_ms(
+        body_controller, (carry_rt, st_rt, jnp.asarray(HOLD, jnp.float32)),
+        rng)
+    solve_ms = _timed_scan_ms(
+        lambda: (lambda c, _: (mpc_runtime.plan_and_act(
+            m, cfg, cost_fn, c, st_rt, cmd)[1], None)),
+        carry_rt, rng)
+    predict_ms = max(controller_ms - solve_ms, 0.0)
+
     # tunnel/dispatch overhead on a trivial program
     x = jnp.asarray(rng.standard_normal(8), jnp.float32)
     triv = jax.jit(lambda v: v + 1.0)
@@ -145,8 +199,16 @@ def main():
             newton_iterations=2, ls_iterations=4, engine_impl="lane",
         )
 
-    jax.block_until_ready(jax.jit(score_fused)(seqs))
-    t_fused = _timed(jax.jit(score_fused), seqs)
+    # scan-based timing: a single blocking dispatch would fold the ~30 ms
+    # tunnel overhead into the kernel time (3.5x error at this size)
+    def body_fused():
+        def body(s, _):
+            c = score_fused(s)
+            s = jnp.clip(s + 1e-6 * c[:, None, None], -1.0, 1.0)
+            return s, None
+        return body
+
+    t_fused = _timed_scan_ms(body_fused, seqs, rng) / 1e3
     print("cost analysis of the unfused engine (analytic FLOPs)...")
     cs = profiling.cost_summary(score_xla, seqs)
     mfu = cs.flop_time_s / t_fused
@@ -159,16 +221,28 @@ def main():
             "frame_skip": 5, "control_rate_hz": 100,
             "newton_ls_budget": "2/4", "plant": "planning",
         },
-        "closed_loop": {
+        "controller_realtime": {
+            "work_per_period_ms": controller_ms,
+            "solve_ms": solve_ms,
+            "predict_ms": predict_ms,
+            "meets_10ms_budget": controller_ms < 10.0,
+            "headroom_x": 10.0 / max(controller_ms, 1e-9),
+            "note": "one-step lane-engine state prediction + 1024-sample "
+                    "H=50 fused MPPI solve, timed as a K-step on-device "
+                    "scan — the controller work that must fit a 100 Hz "
+                    "period under delayed_closed_loop semantics; the "
+                    "plant step is physical reality on hardware and "
+                    "excluded",
+        },
+        "closed_loop_sim": {
             "device_time_per_control_step_ms": per_step_s * 1e3,
-            "meets_10ms_budget": per_step_s < 0.010,
-            "headroom_x": 0.010 / max(per_step_s, 1e-9),
             "dispatch_intercept_ms": intercept_s * 1e3,
             "loop_s_N25": t25, "loop_s_N100": t100,
             "note": "slope of T(N) over the on-device delayed_closed_loop "
-                    "scan: pure device time per 100 Hz control step; the "
-                    "intercept is per-dispatch overhead (axon tunnel), "
-                    "absent on a directly-attached chip",
+                    "scan: controller work PLUS simulating the plant "
+                    "(AoS twin) per 100 Hz control step; the intercept is "
+                    "per-dispatch overhead (axon tunnel), absent on a "
+                    "directly-attached chip",
         },
         "tunnel": {
             "trivial_dispatch_ms": t_triv * 1e3,

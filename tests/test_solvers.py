@@ -112,6 +112,61 @@ def test_delayed_closed_loop_runtime():
     assert bool(phys.qpos[2] > 0.03)
 
 
+def test_lane_control_step_matches_aos():
+    """The lane-engine predictor step (controller-side work inside the
+    10 ms real-time budget) integrates the same physics as the AoS
+    engine to f32 precision."""
+    st = _standing_state()
+    ctrl = jnp.asarray(np.array([0.1, 0.05, -0.45] * 4), jnp.float32)
+    a = engine.control_step(PM, st, ctrl, 3, max_contacts=8,
+                            solver_iterations=4)
+    b = mpc_runtime.lane_control_step(PM, st, ctrl, 3,
+                                      solver_iterations=4, ls_iterations=8)
+    np.testing.assert_allclose(np.asarray(a.qpos), np.asarray(b.qpos),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(a.qvel), np.asarray(b.qvel),
+                               atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.sensordata), np.asarray(b.sensordata), atol=5e-5)
+
+
+def test_delayed_closed_loop_lane_predictor():
+    """predictor='lane' runs the pipelined loop through the batch-minor
+    predictor and stays consistent with the AoS predictor."""
+    st = _standing_state()
+    cfg = mpc_runtime.MPCConfig(
+        solver="mppi",
+        mppi=mppi.MPPIConfig(
+            num_samples=8, rollout=RCFG, lane=True, lane_engine_impl="leg",
+            lane_newton_iterations=3, lane_ls_iterations=8,
+        ),
+        plant_frame_skip=2,
+        plant_max_contacts=8,
+        plant_solver_iterations=3,
+    )
+    cost_fn = rollout.make_cost_fn(PM)
+
+    def run(predictor):
+        carry = mpc_runtime.init_carry(
+            PM, cfg, horizon=5, key=jax.random.PRNGKey(3))
+        return jax.jit(
+            lambda c, p: mpc_runtime.delayed_closed_loop(
+                PM, cfg, cost_fn, c, p, CMD, 3, predictor=predictor)
+        )(carry, st)
+
+    _, phys_l, (ctrls_l, _, _) = run("lane")
+    _, phys_a, (ctrls_a, _, _) = run("aos")
+    assert bool(jnp.isfinite(ctrls_l).all())
+    assert bool(phys_l.qpos[2] > 0.03)
+    # same solve from (nearly) the same predicted state -> same controls
+    np.testing.assert_allclose(np.asarray(ctrls_l), np.asarray(ctrls_a),
+                               atol=1e-3)
+    # 'auto' resolves to the lane predictor for a lane-scoring planner
+    _, _, (ctrls_auto, _, _) = run("auto")
+    np.testing.assert_allclose(np.asarray(ctrls_auto),
+                               np.asarray(ctrls_l), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from quadruped_gym_tpu.runtime import checkpoint
 
