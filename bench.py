@@ -75,18 +75,13 @@ def _extract_json_line(text):
     return None
 
 
-def supervise(argv):
-    metric = (
-        "mpc_rollouts_per_s_per_chip_H50_full_plant"
-        if "full" in argv else "mpc_rollouts_per_s_per_chip_H50"
-    )
-    # phase 1: cheap backend probe with retry/backoff — detects a down
-    # tunnel in minutes instead of burning a 50-min bench attempt on it
+def _probe_backend():
+    """Retrying backend probe; returns None on success, else the error."""
     last_err = "backend probe never ran"
     for attempt in range(_PROBE_ATTEMPTS):
         rc, out, timed_out = _run_child(["--_probe"], _PROBE_TIMEOUT_S)
         if rc == 0:
-            break
+            return None
         last_err = (
             f"probe attempt {attempt + 1}/{_PROBE_ATTEMPTS} "
             + ("timed out" if timed_out else f"rc={rc}")
@@ -95,26 +90,64 @@ def supervise(argv):
         print(f"# {last_err}", file=sys.stderr)
         if attempt + 1 < _PROBE_ATTEMPTS:
             time.sleep(_PROBE_BACKOFF_S[min(attempt, len(_PROBE_BACKOFF_S) - 1)])
-    else:
-        _fail_soft(metric, "TPU backend unavailable after retries: " + last_err)
-        return 0
+    return last_err
 
-    # phase 2: the real bench, long timeout (cold kernel compile)
+
+def _bench_child(plant, extra):
+    """Run one plant's bench in a retried child; returns (obj, err)."""
+    last_err = "never ran"
     for attempt in range(_BENCH_ATTEMPTS):
-        rc, out, timed_out = _run_child(argv + ["--_child"], _BENCH_TIMEOUT_S)
+        rc, out, timed_out = _run_child(
+            ["--plant", plant] + extra + ["--_child"], _BENCH_TIMEOUT_S
+        )
         line = _extract_json_line(out)
         if rc == 0 and line is not None:
-            print(line)
-            return 0
+            return json.loads(line), None
         last_err = (
-            f"bench attempt {attempt + 1}/{_BENCH_ATTEMPTS} "
+            f"{plant} bench attempt {attempt + 1}/{_BENCH_ATTEMPTS} "
             + ("timed out" if timed_out else f"rc={rc}")
             + ": " + out.strip()[-500:]
         )
         print(f"# {last_err}", file=sys.stderr)
         if attempt + 1 < _BENCH_ATTEMPTS:
             time.sleep(30.0)
-    _fail_soft(metric, last_err)
+    return None, last_err
+
+
+def supervise(args):
+    """Default: capture BOTH plants in one run, emit ONE JSON line whose
+    headline is the planning-model number and whose ``full_plant_*``
+    fields carry the full-fidelity plant — a single driver capture
+    verifies both (VERDICT r3 #4). ``--plant full/planning`` narrows to
+    one."""
+    both = args.plant == "both"
+    metric = (
+        "mpc_rollouts_per_s_per_chip_H50_full_plant"
+        if args.plant == "full" else "mpc_rollouts_per_s_per_chip_H50"
+    )
+    # phase 1: cheap backend probe with retry/backoff — detects a down
+    # tunnel in minutes instead of burning a 50-min bench attempt on it
+    probe_err = _probe_backend()
+    if probe_err is not None:
+        _fail_soft(metric, "TPU backend unavailable after retries: " + probe_err)
+        return 0
+
+    # phase 2: the real bench, long timeout (cold kernel compile)
+    extra = [] if args.block is None else ["--block", str(args.block)]
+    head, err = _bench_child(
+        "planning" if both else args.plant, extra
+    )
+    if head is None:
+        _fail_soft(metric, err)
+        return 0
+    if both:
+        full, ferr = _bench_child("full", extra)
+        if full is not None:
+            head["full_plant_rollouts_per_s"] = full["value"]
+            head["full_plant_vs_baseline"] = full["vs_baseline"]
+        else:
+            head["full_plant_error"] = ferr[:500]
+    print(json.dumps(head))
     return 0
 
 
@@ -217,11 +250,11 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--plant", choices=("planning", "full"), default="planning",
+        "--plant", choices=("planning", "full", "both"), default="both",
         help="planning: feet-only decimated hulls at the quality-validated "
         "2/4 newton/linesearch budget (headline). full: the full lower-leg "
         "collision plant (feet+shins+ankle servos) at the conservative 4/8 "
-        "budget.",
+        "budget. both (default): one JSON line carrying both numbers.",
     )
     ap.add_argument("--block", type=int, default=None,
                     help="Pallas batch tile (default: engine default)")
@@ -235,12 +268,11 @@ def main(argv=None):
         probe()
         return 0
     if args._child or args.no_retry:
+        if args.plant == "both":
+            args.plant = "planning"
         run_bench(args)
         return 0
-    sup_argv = ["--plant", args.plant]
-    if args.block is not None:
-        sup_argv += ["--block", str(args.block)]
-    return supervise(sup_argv)
+    return supervise(args)
 
 
 if __name__ == "__main__":

@@ -102,7 +102,8 @@ def main():
 
     def run_loop(n_steps):
         f = jax.jit(lambda carry, phys: mpc_runtime.delayed_closed_loop(
-            m, cfg, cost_fn, carry, phys, cmd, n_steps
+            m, cfg, cost_fn, carry, phys, cmd, n_steps,
+            plant_engine="lane",
         )[2][0])
 
         def fresh_inputs():
@@ -116,14 +117,26 @@ def main():
             )
             return carry, st
 
-        jax.block_until_ready(f(*fresh_inputs()))  # compile
-        return _timed(lambda: f(*fresh_inputs())), f
+        # compile + one discarded warm run before _timed's medians so the
+        # fit never sees first-dispatch contamination (the r3 artifact's
+        # negative intercept came from exactly that)
+        jax.block_until_ready(f(*fresh_inputs()))
+        jax.block_until_ready(f(*fresh_inputs()))
+        return _timed(lambda: f(*fresh_inputs()), reps=5), f
 
-    print("compiling closed loops (N=25, N=100)...")
-    t25, _ = run_loop(25)
-    t100, _ = run_loop(100)
-    per_step_s = (t100 - t25) / 75.0
-    intercept_s = t25 - 25 * per_step_s
+    ns = (25, 50, 100)
+    print(f"compiling closed loops (N={ns})...")
+    loop_s = {n: run_loop(n)[0] for n in ns}
+    # least-squares T(N) = a*N + b over >= 3 points; a per-dispatch
+    # overhead cannot be negative, so clamp and refit the slope through
+    # the clamped intercept if the unconstrained fit goes below zero
+    A = np.array(ns, dtype=np.float64)
+    T = np.array([loop_s[n] for n in ns])
+    a, b = np.polyfit(A, T, 1)
+    if b < 0:
+        b = 0.0
+        a = float(np.sum(A * T) / np.sum(A * A))
+    per_step_s, intercept_s = float(a), float(b)
 
     # controller-side real-time work per 100 Hz period: the one-step
     # state prediction (lane engine) + the MPPI solve — what an onboard
@@ -237,12 +250,15 @@ def main():
         "closed_loop_sim": {
             "device_time_per_control_step_ms": per_step_s * 1e3,
             "dispatch_intercept_ms": intercept_s * 1e3,
-            "loop_s_N25": t25, "loop_s_N100": t100,
-            "note": "slope of T(N) over the on-device delayed_closed_loop "
-                    "scan: controller work PLUS simulating the plant "
-                    "(AoS twin) per 100 Hz control step; the intercept is "
-                    "per-dispatch overhead (axon tunnel), absent on a "
-                    "directly-attached chip",
+            "loop_s_by_N": {str(n): loop_s[n] for n in ns},
+            "meets_10ms_budget": per_step_s * 1e3 < 10.0,
+            "note": "least-squares slope of T(N) over the on-device "
+                    "delayed_closed_loop scan (N=25/50/100, warmup "
+                    "discarded, intercept clamped >= 0): controller work "
+                    "PLUS simulating the plant (leg-engine twin) per "
+                    "100 Hz control step; the intercept is per-dispatch "
+                    "overhead (axon tunnel), absent on a directly-"
+                    "attached chip",
         },
         "tunnel": {
             "trivial_dispatch_ms": t_triv * 1e3,
