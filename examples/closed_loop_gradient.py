@@ -1,0 +1,128 @@
+"""Closed-loop receding-horizon GRADIENT MPC walk (SQP or iLQR).
+
+VERDICT r3 #6: the gradient solvers were exercised open-loop only (the
+``make gait`` trajectory optimization); this demo runs them as real
+receding-horizon controllers — every 50 Hz control period the shifted
+incumbent plan warm-starts a 1-iteration condensed-QP SQP (or
+2-iteration iLQR) solve from the CURRENT plant state, and the first
+control is applied. The whole loop is one jitted ``lax.scan`` on the
+chip via ``runtime.mpc_runtime.closed_loop``.
+
+Writes ``artifacts/closed_loop_<solver>.json``.
+
+Run:  python examples/closed_loop_gradient.py [--solver sqp|ilqr]
+          [--steps 100] [--speed 0.15] [--horizon 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--solver", choices=("sqp", "ilqr"), default="sqp")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--speed", type=float, default=0.15)
+    p.add_argument("--horizon", type=int, default=20)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from quadruped_gym_tpu.models import spec
+    from quadruped_gym_tpu.physics import engine
+    from quadruped_gym_tpu.runtime import mpc_runtime
+    from quadruped_gym_tpu.solvers import ilqr, rollout, sqp
+    from quadruped_gym_tpu.tasks import commands
+    from quadruped_gym_tpu.tasks.rewards import SensorSlices
+
+    pm = spec.get_planning_model()
+    rcfg = rollout.RolloutConfig(
+        horizon=args.horizon, frame_skip=5, max_contacts=8,
+        solver_iterations=4,
+    )
+    cfg = mpc_runtime.MPCConfig(
+        solver=args.solver,
+        sqp=sqp.SQPConfig(
+            iterations=1, qp_iterations=15, rollout=rcfg,
+            alphas=(1.0, 0.3, 0.1),
+        ),
+        ilqr=ilqr.ILQRConfig(
+            iterations=2, rollout=rcfg, alphas=(1.0, 0.3, 0.1, 0.0),
+        ),
+        plant_frame_skip=5, plant_max_contacts=12,
+        plant_solver_iterations=4,
+    )
+    # smoothed progress terms: the gradient solvers' quadratization is
+    # blind at stance under the exact cost (rollout.py:52-60)
+    cost_fn = rollout.make_cost_fn(pm, vel_smooth_eps=0.02)
+    cmd = commands.make(jnp.array([args.speed, 0.0]), jnp.array(0.0))
+    phys = engine.make_state(pm)
+    carry = mpc_runtime.init_carry(
+        pm, cfg, horizon=args.horizon, key=jax.random.PRNGKey(0)
+    )
+
+    loop = jax.jit(
+        lambda c, p: mpc_runtime.closed_loop(
+            pm, cfg, cost_fn, c, p, cmd, args.steps
+        )
+    )
+    sim_s = args.steps * cfg.plant_frame_skip * float(pm.timestep)
+    print(f"compiling + walking {args.steps} control steps "
+          f"({sim_s:.1f} s sim), receding-horizon {args.solver}...")
+    t0 = time.time()
+    carry, phys, (ctrls, sens, costs) = jax.block_until_ready(
+        loop(carry, phys)
+    )
+    wall = time.time() - t0
+    print(f"done in {wall:.1f} s wall")
+
+    sl = SensorSlices.from_model(pm)
+    pos = np.asarray(sens[:, sl.pos:sl.pos + 3])
+    vel = np.asarray(sens[:, sl.vel:sl.vel + 2])
+    z = np.asarray(sens[:, sl.zaxis + 2])
+    warm = args.steps // 4
+    report = {
+        "device": str(jax.devices()[0]),
+        "solver": args.solver,
+        "mode": "closed-loop receding horizon "
+                f"({cfg.sqp.iterations if args.solver == 'sqp' else cfg.ilqr.iterations}"
+                " solve iteration(s) per 50 Hz period, warm-started)",
+        "command_mps": args.speed,
+        "horizon": args.horizon,
+        "control_steps": args.steps,
+        "sim_seconds": sim_s,
+        "traveled_xy_m": [float(pos[-1][0]), float(pos[-1][1])],
+        "mean_vx_after_warmup": float(vel[warm:, 0].mean()),
+        "mean_abs_vy": float(np.abs(vel[warm:, 1]).mean()),
+        "uprightness_min": float(z.min()),
+        "never_flipped": bool(z.min() > 0),
+        "body_height_range_m": [float(pos[:, 2].min()),
+                                float(pos[:, 2].max())],
+        "final_best_cost": float(np.asarray(costs)[-1]),
+        "wall_s_including_compile": wall,
+    }
+    out = args.out or os.path.join(
+        _REPO, "artifacts", f"closed_loop_{args.solver}.json"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

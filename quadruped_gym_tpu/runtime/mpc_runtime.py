@@ -21,15 +21,23 @@ from ..physics import engine
 from ..tasks.commands import Command
 from . import checkpoint as _ckpt  # noqa: F401 (re-export convenience)
 from ..solvers import cem as cem_mod
+from ..solvers import ilqr as ilqr_mod
 from ..solvers import mppi as mppi_mod
 from ..solvers import rollout as rollout_mod
+from ..solvers import sqp as sqp_mod
 
 
 @dataclasses.dataclass(frozen=True)
 class MPCConfig:
-    solver: str = "mppi"  # "mppi" | "cem"
+    solver: str = "mppi"  # "mppi" | "cem" | "sqp" | "ilqr"
     mppi: mppi_mod.MPPIConfig = mppi_mod.MPPIConfig()
     cem: cem_mod.CEMConfig = cem_mod.CEMConfig()
+    # gradient solvers for receding-horizon use: few iterations per
+    # period, warm-started from the shifted incumbent plan. Pair with a
+    # smoothed cost (rollout.make_cost_fn(m, vel_smooth_eps>0)) — the
+    # exact cost's quadratization is blind at stance (rollout.py:52-60).
+    sqp: sqp_mod.SQPConfig = sqp_mod.SQPConfig(iterations=1)
+    ilqr: ilqr_mod.ILQRConfig = ilqr_mod.ILQRConfig(iterations=2)
     # plant (the "real" robot) stepping
     plant_frame_skip: int = 5
     plant_max_contacts: int = 24
@@ -37,7 +45,12 @@ class MPCConfig:
 
     @property
     def rollout(self) -> rollout_mod.RolloutConfig:
-        return self.mppi.rollout if self.solver == "mppi" else self.cem.rollout
+        return {
+            "mppi": self.mppi.rollout,
+            "cem": self.cem.rollout,
+            "sqp": self.sqp.rollout,
+            "ilqr": self.ilqr.rollout,
+        }[self.solver]
 
 
 class MPCCarry(NamedTuple):
@@ -119,6 +132,21 @@ def plan_and_act(
         )
         mean, sigma = res.mean, res.sigma
         info = {"best_cost": res.best_cost, "mean_cost": res.mean_cost}
+    elif cfg.solver == "sqp":
+        # receding-horizon SQP (BASELINE config 4, closed loop): the
+        # shifted incumbent is the warm start; cfg.sqp.iterations
+        # condensed-QP steps refine it within the control period
+        res = sqp_mod.solve(
+            m, cfg.sqp, cost_fn, phys, carry.mean, cmd, carry.prev_ctrl
+        )
+        mean, sigma = res.ctrl_seq, carry.sigma
+        info = {"best_cost": res.cost, "mean_cost": res.initial_cost}
+    elif cfg.solver == "ilqr":
+        res = ilqr_mod.solve(
+            m, cfg.ilqr, cost_fn, phys, carry.mean, cmd, carry.prev_ctrl
+        )
+        mean, sigma = res.ctrl_seq, carry.sigma
+        info = {"best_cost": res.cost, "mean_cost": res.initial_cost}
     else:
         raise ValueError(cfg.solver)
 

@@ -1,0 +1,62 @@
+"""Closed-loop gradient MPC: SQP/iLQR as receding-horizon solvers.
+
+VERDICT r3 #6 asked for the gradient solvers wired into the runtime's
+closed loop (they were open-loop-only). The fast test checks the config
+surface; the slow test runs a real 3-step receding-horizon SQP loop on
+the virtual CPU backend and checks the plant advances finitely.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_gym_tpu.models import spec
+from quadruped_gym_tpu.physics import engine
+from quadruped_gym_tpu.runtime import mpc_runtime
+from quadruped_gym_tpu.solvers import ilqr, rollout, sqp
+from quadruped_gym_tpu.tasks import commands
+
+
+def test_mpc_config_covers_gradient_solvers():
+    rcfg = rollout.RolloutConfig(horizon=4, frame_skip=1)
+    for name in ("mppi", "cem", "sqp", "ilqr"):
+        cfg = mpc_runtime.MPCConfig(
+            solver=name,
+            sqp=sqp.SQPConfig(rollout=rcfg),
+            ilqr=ilqr.ILQRConfig(rollout=rcfg),
+        )
+        assert isinstance(cfg.rollout, rollout.RolloutConfig)
+    with pytest.raises(KeyError):
+        _ = mpc_runtime.MPCConfig(solver="nope").rollout
+
+
+@pytest.mark.slow
+def test_receding_horizon_sqp_closed_loop():
+    m = spec.get_planning_model()
+    rcfg = rollout.RolloutConfig(
+        horizon=3, frame_skip=1, max_contacts=4, solver_iterations=2
+    )
+    cfg = mpc_runtime.MPCConfig(
+        solver="sqp",
+        sqp=sqp.SQPConfig(
+            iterations=1, qp_iterations=5, rollout=rcfg, alphas=(1.0, 0.1)
+        ),
+        plant_frame_skip=1, plant_max_contacts=4, plant_solver_iterations=2,
+    )
+    cost_fn = rollout.make_cost_fn(m, vel_smooth_eps=0.02)
+    cmd = commands.make(jnp.array([0.2, 0.0]), jnp.array(0.0))
+    carry = mpc_runtime.init_carry(m, cfg, horizon=3, key=jax.random.PRNGKey(0))
+    phys = engine.make_state(m)
+
+    loop = jax.jit(
+        lambda c, p: mpc_runtime.closed_loop(m, cfg, cost_fn, c, p, cmd, 3)
+    )
+    carry2, phys2, (ctrls, sens, costs) = jax.block_until_ready(
+        loop(carry, phys)
+    )
+    assert ctrls.shape == (3, m.nu)
+    assert np.isfinite(np.asarray(sens)).all()
+    assert np.isfinite(np.asarray(costs)).all()
+    # the plan moved off the init and the plant advanced in time
+    assert float(phys2.time) > float(phys.time)
