@@ -44,6 +44,15 @@ class PPOConfig:
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (256, 256, 128)
+    # optional bounds on the state-independent log-std head, applied
+    # after each minibatch step. SB3's defaults leave the std to shrink
+    # only via the surrogate objective, which after 10M steps still
+    # leaves std ~ 0.7 — wide enough that the STOCHASTIC policy (the
+    # reference's eval protocol, eval_quadruped.py:23) drowns in
+    # control-cost noise. A fine-tune phase with log_std_max ~ -1.2
+    # (std <= 0.30) makes the sampled policy walk.
+    log_std_min: Optional[float] = None
+    log_std_max: Optional[float] = None
     # route env physics through the batch-minor lane/leg engine
     # (walking.batched_step) — the training-throughput path
     lane_physics: bool = False
@@ -233,6 +242,10 @@ def update_fn(
                     grads = jax.lax.pmean(grads, axis_name)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
+                if cfg.log_std_min is not None or cfg.log_std_max is not None:
+                    params = dict(params, log_std=jnp.clip(
+                        params["log_std"], cfg.log_std_min, cfg.log_std_max
+                    ))
                 return (params, opt_state), aux
 
             (params, opt_state), auxs = jax.lax.scan(

@@ -65,6 +65,11 @@ def main(argv=None):
     p.add_argument("--lane-physics", action="store_true",
                    help="route env physics through the batch-minor "
                         "lane/leg engine (~4x rollout throughput)")
+    p.add_argument("--log-std-max", type=float, default=None,
+                   help="clamp the policy log-std from above after each "
+                        "update (fine-tune phase: bounded exploration "
+                        "makes the SAMPLED policy — the reference's "
+                        "eval protocol — walk)")
     p.add_argument("--no-eval", action="store_true",
                    help="skip the per-iteration eval rollout")
     p.add_argument("--no-eval-video", action="store_true",
@@ -89,6 +94,7 @@ def main(argv=None):
     cfg = ppo.PPOConfig(
         num_envs=args.num_envs, num_steps=args.num_steps,
         lane_physics=args.lane_physics,
+        log_std_max=args.log_std_max,
     )
 
     if args.distributed:

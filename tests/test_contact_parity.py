@@ -72,6 +72,7 @@ def test_joint_limit_parity(mjpair):
     np.testing.assert_allclose(np.asarray(fwd.qacc), d.qacc, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_settle_trajectory_bit_parity(mjpair):
     """Drop from qpos0, land, settle: 300 steps bit-exact (single-point
     contacts follow the oracle exactly)."""

@@ -25,6 +25,7 @@ def setup(cpu_devices):
     return m, env_cfg, cfg, mesh
 
 
+@pytest.mark.slow
 def test_distributed_update_runs_and_replicates(setup):
     m, env_cfg, cfg, mesh = setup
     ts = distributed.init_distributed_train_state(

@@ -51,12 +51,14 @@ def _ctrl():
     return jnp.tile(jnp.asarray(np.array([0.1, -0.1, -0.5] * 4)), (B, 1)).T
 
 
+@pytest.mark.slow
 def test_none_dp_is_identity(m, state):
     base = leg_engine.step(m, state, _ctrl(), 8, 12)
     same = leg_engine.step(m, state, _ctrl(), 8, 12, dp=spec.DomainParams())
     np.testing.assert_array_equal(np.asarray(base.qvel), np.asarray(same.qvel))
 
 
+@pytest.mark.slow
 def test_friction_matches_rebuilt_model(m, state):
     fr = 0.35
     m2 = dataclasses.replace(
@@ -103,6 +105,7 @@ def test_per_sample_heterogeneity(m, state):
         )
 
 
+@pytest.mark.slow
 def test_mass_scale_identity_and_effect(m, state):
     base = leg_engine.step(m, state, _ctrl(), 8, 12)
     one = leg_engine.step(
@@ -131,6 +134,7 @@ def grounded(m):
     )
 
 
+@pytest.mark.slow
 def test_tilt_matches_rebuilt_model(m, grounded):
     """Ground-slope override == rebuilding the model with the tilted
     plane normal (same tangent-frame rule), with contact active."""
@@ -174,6 +178,7 @@ def test_sample_domain_params_shapes():
     assert dp2.friction is None
 
 
+@pytest.mark.slow
 def test_pallas_step_with_dp_matches_leg(m, state):
     dp = spec.sample_domain_params(jax.random.PRNGKey(2), B)
     dp = spec.DomainParams(*(None if v is None else v.astype(jnp.float64)

@@ -34,6 +34,7 @@ def test_base_env_api():
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference repo not mounted")
+@pytest.mark.slow
 def test_walking_class_env_matches_reference():
     sys.path.insert(0, REFERENCE)
     from src.envs.walking_quad import WalkingQuadrupedEnv as RefEnv
@@ -59,6 +60,7 @@ def test_walking_class_env_matches_reference():
             np.testing.assert_allclose(im[k], ir[k], atol=5e-6)
 
 
+@pytest.mark.slow
 def test_po_env_shapes_and_reset_semantics():
     env = POWalkingQuadrupedEnv(
         obs_window=3, max_time=2.0, frame_skip=10, random_controls=True
@@ -74,6 +76,7 @@ def test_po_env_shapes_and_reset_semantics():
     assert len(info) == len(env.reward_keys)
 
 
+@pytest.mark.slow
 def test_dummy_env_reward():
     env = DummyWalkingQuadrupedEnv(max_time=1.0, frame_skip=10)
     env.reset()
@@ -82,6 +85,7 @@ def test_dummy_env_reward():
     assert np.isfinite(rew)
 
 
+@pytest.mark.slow
 def test_vector_env_auto_reset():
     pm = get_model()
     cfg = walking.WalkingConfig(
@@ -139,6 +143,7 @@ def test_custom_reward_and_termination_fns_are_honored():
     assert set(info) == set(env2.reward_keys)
 
 
+@pytest.mark.slow
 def test_po_env_honors_custom_fns_too():
     env = POWalkingQuadrupedEnv(obs_window=2, max_time=1.0, frame_skip=10)
     env.reward_fns = {"const": lambda: 3.0}

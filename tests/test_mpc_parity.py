@@ -34,6 +34,7 @@ def _mppi_weights(costs):
     return w / w.sum()
 
 
+@pytest.mark.slow
 def test_mppi_controls_match_mujoco_baseline(m):
     cost_fn = rollout.make_cost_fn(m)
     sl = rewards.SensorSlices.from_model(m)

@@ -46,6 +46,7 @@ def _setup(m, airborne=False):
     return state, cmd, prev, cost_fn
 
 
+@pytest.mark.slow
 def test_sharded_rollout_costs_match_local(m, small_rollout_cfg, cpu_devices):
     assert len(cpu_devices) >= 8
     mesh = parallel.make_mesh(cpu_devices[:8])
@@ -62,6 +63,7 @@ def test_sharded_rollout_costs_match_local(m, small_rollout_cfg, cpu_devices):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_mppi_plan_runs_and_is_finite(m, small_rollout_cfg, cpu_devices):
     mesh = parallel.make_mesh(cpu_devices[:8])
     state, cmd, prev, cost_fn = _setup(m)
@@ -81,6 +83,7 @@ def test_sharded_mppi_plan_runs_and_is_finite(m, small_rollout_cfg, cpu_devices)
     assert (np.asarray(res.mean) <= hi + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_sharded_mppi_fused_engine_runs(cpu_devices):
     """Multi-chip MPPI with the fused whole-rollout kernel per shard
     (interpret mode on the virtual CPU mesh): the config-driven
@@ -101,6 +104,7 @@ def test_sharded_mppi_fused_engine_runs(cpu_devices):
     assert np.isfinite(float(res.best_cost))
 
 
+@pytest.mark.slow
 def test_sharded_mppi_matches_single_shard_semantics(m, small_rollout_cfg,
                                                      cpu_devices):
     """On a 1-device mesh the collective reductions are identities, so the

@@ -52,6 +52,7 @@ def _setup(m, S, H):
     return cfg, cost_fn, state0, cmd, prev, seqs
 
 
+@pytest.mark.slow
 def test_pipelined_costs_match_sequential(m, stage_mesh):
     """4 stages x 2-step segments, 2 microbatches == the vmapped scan
     (same physics steps in the same order; only the cost reduction
@@ -70,6 +71,7 @@ def test_pipelined_costs_match_sequential(m, stage_mesh):
     np.testing.assert_allclose(piped, ref, rtol=1e-12, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pipelined_microbatch_counts(m, stage_mesh):
     """The schedule is microbatch-count invariant (bubble changes, math
     doesn't): M=1 (pure staging) and M=4 agree with M=2."""
@@ -87,6 +89,7 @@ def test_pipelined_microbatch_counts(m, stage_mesh):
     np.testing.assert_allclose(outs[1], outs[2], rtol=1e-12, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pipelined_mppi_plan_runs(m, stage_mesh):
     """End-to-end MPPI update scored through the pipe: finite, box-kept,
     and equal to a replicated MPPI update with the same perturbations."""

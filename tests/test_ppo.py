@@ -23,6 +23,7 @@ def env_cfg():
     )
 
 
+@pytest.mark.slow
 def test_train_chunk_runs_and_metrics_finite(m, env_cfg):
     cfg = ppo.PPOConfig(num_envs=8, num_steps=8, epochs=2, num_minibatches=2,
                         hidden=(32, 32))
@@ -43,6 +44,7 @@ def test_train_chunk_runs_and_metrics_finite(m, env_cfg):
     assert max(jax.tree.leaves(d)) > 0.0
 
 
+@pytest.mark.slow
 def test_update_is_deterministic(m, env_cfg):
     cfg = ppo.PPOConfig(num_envs=4, num_steps=4, epochs=1, num_minibatches=1,
                         hidden=(16,))

@@ -87,6 +87,7 @@ def test_smooth_qacc(mjpair):
         np.testing.assert_allclose(np.asarray(qacc), d.qacc, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_implicitfast_step_200(mjpair):
     """Bit-level trajectory parity over 200 contact-free steps, including
     actuator force saturation and the exact activation filter."""

@@ -34,6 +34,7 @@ def setup(m):
     return cost_fn, state0, cmd, prev, us0
 
 
+@pytest.mark.slow
 def test_sqp_descends_fast(m, setup):
     cost_fn, state0, cmd, prev, us0 = setup
     cfg = sqp.SQPConfig(
@@ -53,6 +54,7 @@ def test_sqp_descends_fast(m, setup):
     assert (np.diff(hist) <= 1e-9).all()
 
 
+@pytest.mark.slow
 def test_ilqr_descends_fast(m, setup):
     cost_fn, state0, cmd, prev, us0 = setup
     cfg = ilqr.ILQRConfig(

@@ -5,6 +5,7 @@ solvers improve the tracking objective and their outputs are finite/bounded.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quadruped_gym_tpu.models.spec import MPC_COLLISION_PREFIXES, get_model
 from quadruped_gym_tpu.physics import engine
@@ -26,6 +27,7 @@ def _standing_state():
     return st
 
 
+@pytest.mark.slow
 def test_batched_rollout_costs_finite():
     st = _standing_state()
     seqs = jnp.tile(CENTERS, (4, 5, 1))
@@ -36,6 +38,7 @@ def test_batched_rollout_costs_finite():
     np.testing.assert_allclose(np.asarray(costs), np.asarray(costs)[0], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mppi_improves_over_mean():
     st = _standing_state()
     cfg = mppi.MPPIConfig(num_samples=16, sigma=0.2, temperature=1.0, rollout=RCFG)
@@ -52,6 +55,7 @@ def test_mppi_improves_over_mean():
     assert float(updated) <= float(base) + 25.0
 
 
+@pytest.mark.slow
 def test_cem_reduces_cost_across_iterations():
     st = _standing_state()
     cfg = cem.CEMConfig(num_samples=16, num_elites=4, iterations=2, rollout=RCFG)
@@ -64,6 +68,7 @@ def test_cem_reduces_cost_across_iterations():
     assert bool(jnp.all(res.sigma >= cfg.min_sigma - 1e-6))
 
 
+@pytest.mark.slow
 def test_closed_loop_runtime():
     st = _standing_state()
     cfg = mpc_runtime.MPCConfig(
@@ -83,6 +88,7 @@ def test_closed_loop_runtime():
     assert bool(phys.qpos[2] > 0.03)  # robot has not fallen through the floor
 
 
+@pytest.mark.slow
 def test_delayed_closed_loop_runtime():
     """The one-period-computation-delay (pipelined) loop runs, stays
     finite, and keeps the robot above the floor."""
@@ -112,6 +118,7 @@ def test_delayed_closed_loop_runtime():
     assert bool(phys.qpos[2] > 0.03)
 
 
+@pytest.mark.slow
 def test_lane_control_step_matches_aos():
     """The lane-engine predictor step (controller-side work inside the
     10 ms real-time budget) integrates the same physics as the AoS
@@ -130,6 +137,8 @@ def test_lane_control_step_matches_aos():
         np.asarray(a.sensordata), np.asarray(b.sensordata), atol=5e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.nocache
 def test_delayed_closed_loop_lane_predictor():
     """predictor='lane' runs the pipelined loop through the batch-minor
     predictor and stays consistent with the AoS predictor."""

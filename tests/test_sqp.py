@@ -94,6 +94,7 @@ def test_condense_sharded_matches_single(cpu_devices):
                                rtol=1e-12, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sqp_reduces_cost(m):
     cfg = sqp.SQPConfig(
         iterations=2,
@@ -121,6 +122,7 @@ def test_sqp_reduces_cost(m):
     assert (u >= lo - 1e-9).all() and (u <= hi + 1e-9).all()
 
 
+@pytest.mark.slow
 def test_sqp_sharded_condensation_runs(m, cpu_devices):
     """End-to-end SQP with the horizon reduction sharded over 4 virtual
     devices — the multi-chip condensation path compiles and descends."""

@@ -111,6 +111,7 @@ def test_command_sampling_semantics():
     np.testing.assert_allclose(float(commands.heading_theta(cmd)), 0.5, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_flip_termination_and_time_limit():
     cfg = walking.WalkingConfig(max_time=0.08, frame_skip=4, dtype=jnp.float64)
     st, _ = walking.reset(PM, cfg, jax.random.PRNGKey(0))
@@ -132,6 +133,7 @@ def test_flip_termination_and_time_limit():
     assert bool(out2.terminated)
 
 
+@pytest.mark.slow
 def test_madgwick_gravity_convergence():
     """Filter internal consistency: stationary IMU converges to gravity."""
     from quadruped_gym_tpu.tasks import madgwick
