@@ -22,7 +22,7 @@ help:
 	@echo "  latency   - real-time loop latency + fused-kernel roofline report (TPU)"
 
 test:
-	timeout 300 $(PY) -m pytest tests/ -q -m "not slow"
+	timeout --signal=INT --kill-after=30 300 $(PY) -m pytest tests/ -q -m "not slow"
 
 test-all:
 	$(PY) -m pytest tests/ -q

@@ -2,7 +2,7 @@
 
 VERDICT r3 #6: the gradient solvers were exercised open-loop only (the
 ``make gait`` trajectory optimization); this demo runs them as real
-receding-horizon controllers — every 50 Hz control period the shifted
+receding-horizon controllers — every control period the shifted
 incumbent plan warm-starts a 1-iteration condensed-QP SQP (or
 2-iteration iLQR) solve from the CURRENT plant state, and the first
 control is applied. The whole loop is one jitted ``lax.scan`` on the
@@ -89,6 +89,7 @@ def main(argv=None):
     wall = time.time() - t0
     print(f"done in {wall:.1f} s wall")
 
+    ctrl_hz = 1.0 / (cfg.plant_frame_skip * float(pm.timestep))
     sl = SensorSlices.from_model(pm)
     pos = np.asarray(sens[:, sl.pos:sl.pos + 3])
     vel = np.asarray(sens[:, sl.vel:sl.vel + 2])
@@ -99,7 +100,9 @@ def main(argv=None):
         "solver": args.solver,
         "mode": "closed-loop receding horizon "
                 f"({cfg.sqp.iterations if args.solver == 'sqp' else cfg.ilqr.iterations}"
-                " solve iteration(s) per 50 Hz period, warm-started)",
+                f" solve iteration(s) per {ctrl_hz:.0f} Hz period,"
+                " warm-started)",
+        "control_rate_hz": ctrl_hz,
         "command_mps": args.speed,
         "horizon": args.horizon,
         "control_steps": args.steps,

@@ -29,18 +29,28 @@ from . import ppo
 
 
 def make_env_config(args) -> walking.WalkingConfig:
-    # training env of the reference (train_quadruped.py:15-27, options :40-47)
+    # training env of the reference (train_quadruped.py:15-27, options :40-47).
+    # The reference fixes the command speed at 0.3 but evals at 0.2
+    # (eval_quadruped.py:14) — out of distribution. Its options dict has
+    # commented-out min_speed/max_speed (train_quadruped.py:41-42); pass
+    # --min-speed/--max-speed here to train with the speed sampled per
+    # reset so the eval command is in-distribution.
+    opts = {
+        "fixed_heading_angle": 0.0,
+        "fixed_velocity_angle": 0.0,
+    }
+    if args.min_speed is not None or args.max_speed is not None:
+        opts["min_speed"] = args.min_speed if args.min_speed is not None else 0.0
+        opts["max_speed"] = args.max_speed if args.max_speed is not None else 0.4
+    else:
+        opts["fixed_speed"] = args.fixed_speed
     return walking.WalkingConfig(
         max_time=args.max_time,
         frame_skip=args.frame_skip,
         obs_window=args.obs_window,
         partial_obs=not args.full_obs,
         random_controls=True,
-        reset_options=commands.SampleOptions.from_dict({
-            "fixed_heading_angle": 0.0,
-            "fixed_velocity_angle": 0.0,
-            "fixed_speed": 0.3,
-        }),
+        reset_options=commands.SampleOptions.from_dict(opts),
         max_contacts=args.max_contacts,
         solver_iterations=args.solver_iterations,
     )
@@ -60,6 +70,15 @@ def main(argv=None):
     p.add_argument("--max-contacts", type=int, default=12)
     p.add_argument("--solver-iterations", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fixed-speed", type=float, default=0.3,
+                   help="fixed command speed per reset "
+                        "(train_quadruped.py:45)")
+    p.add_argument("--min-speed", type=float, default=None,
+                   help="sample the command speed uniformly in "
+                        "[min-speed, max-speed] per reset instead of "
+                        "fixing it (the reference's commented-out "
+                        "options, train_quadruped.py:41-42)")
+    p.add_argument("--max-speed", type=float, default=None)
     p.add_argument("--dashboard", action="store_true",
                    help="serve live metrics on :8050")
     p.add_argument("--lane-physics", action="store_true",

@@ -241,11 +241,21 @@ def delayed_closed_loop(
             "lane" if lane_planner and _leg.is_compatible(m) else "aos"
         )
     if predictor == "lane":
-        newton, lsit = (
-            (cfg.mppi.lane_newton_iterations, cfg.mppi.lane_ls_iterations)
-            if cfg.solver == "mppi"
-            else (cfg.cem.lane_newton_iterations, cfg.cem.lane_ls_iterations)
-        )
+        # Newton/linesearch budget for the one-step prediction comes from
+        # the matching sampling-solver config; gradient solvers (sqp/ilqr)
+        # carry no lane_* fields, so they get the rollout defaults rather
+        # than silently inheriting CEM tuning (ADVICE r4).
+        if cfg.solver == "mppi":
+            newton, lsit = (
+                cfg.mppi.lane_newton_iterations, cfg.mppi.lane_ls_iterations
+            )
+        elif cfg.solver == "cem":
+            newton, lsit = (
+                cfg.cem.lane_newton_iterations, cfg.cem.lane_ls_iterations
+            )
+        else:
+            newton = rcfg.solver_iterations
+            lsit = 2 * rcfg.solver_iterations
 
         def predict(phys, pending):
             return lane_control_step(

@@ -113,7 +113,7 @@ def main():
     nu = m.nu
     state_bytes = 4 * (m.nq + m.nv + m.na + 1 + m.nsensordata)
     true_bytes = S_ref * (H * nu * 4 + 2 * state_bytes + 4)
-    hbm_peak = profiling.TPU_V5E.hbm_bw_gbps * 1e9
+    hbm_peak = profiling.TPU_V5E.peak_hbm_bytes
     hbm_frac_true = (true_bytes / t_ref) / hbm_peak
 
     # 3. FLOP + op-issue model from the unfused engine's cost analysis
@@ -121,7 +121,7 @@ def main():
     cs = profiling.cost_summary(make_score(1024, "lane"), seqs_small)
     flops_per_sample = cs.flops / 4096
     flop_frac = (flops_per_sample * S_ref / t_ref) / (
-        profiling.TPU_V5E.f32_tflops * 1e12)
+        profiling.TPU_V5E.peak_flops_f32)
 
     # sustained vector-op rate: ops touch (8,128) f32 lanes; with
     # block=1024 each lane value is (d, 8, 128) = d vregs. Estimate ops
@@ -151,7 +151,8 @@ def main():
                     "UNFUSED engine's inter-fusion bytes - traffic the "
                     "fused kernel does not emit.",
         },
-        "block_sweep_ref": "latency_sweep.out (block=1024 beats 2048 "
+        "block_sweep_ref": "artifacts/scratch_r3/latency_sweep.out "
+                           "(block=1024 beats 2048 "
                            "at every S; 512 impossible: lane tiling "
                            "needs block % 1024 == 0)",
     }

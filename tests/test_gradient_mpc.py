@@ -49,6 +49,23 @@ def test_receding_horizon_sqp_closed_loop():
     carry = mpc_runtime.init_carry(m, cfg, horizon=3, key=jax.random.PRNGKey(0))
     phys = engine.make_state(m)
 
+    # one receding-horizon solve from the initial state: the SQP step must
+    # IMPROVE on the warm-start plan, not just return it (VERDICT r4 weak
+    # #2 — finiteness alone would pass a no-op solver). For the sqp branch
+    # info carries best_cost (post-solve) and mean_cost (= initial_cost of
+    # the warm start, mpc_runtime.plan_and_act).
+    step1 = jax.jit(
+        lambda c, p: mpc_runtime.plan_and_act(m, cfg, cost_fn, c, p, cmd)
+    )
+    ctrl0, _, info0 = jax.block_until_ready(step1(carry, phys))
+    assert np.isfinite(float(info0["best_cost"]))
+    assert float(info0["best_cost"]) < float(info0["mean_cost"]), (
+        "1-iteration SQP did not decrease cost vs the zero-iteration "
+        "(warm-start) plan"
+    )
+    # and the applied control moved off the hold warm start
+    assert not np.allclose(np.asarray(ctrl0), np.asarray(carry.mean[0]))
+
     loop = jax.jit(
         lambda c, p: mpc_runtime.closed_loop(m, cfg, cost_fn, c, p, cmd, 3)
     )
