@@ -82,8 +82,14 @@ def restore(path: str, example_tree: Any):
     data = np.load(os.path.join(path, "state.npz"))
     leaves, treedef = _flatten(example_tree)
     assert meta["num_leaves"] == len(leaves), "checkpoint/structure mismatch"
+    # read dtype from the leaf WITHOUT materializing it: np.asarray on a
+    # device array is a device->host transfer of every example leaf (the
+    # example is typically a freshly-initialized on-device train state),
+    # and large D2H pulls through the axon tunnel have been observed to
+    # hang indefinitely at restore time
     new_leaves = [
-        np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
+        np.asarray(data[f"leaf_{i}"], dtype=getattr(l, "dtype", None)
+                   or np.asarray(l).dtype)
         for i, l in enumerate(leaves)
     ]
     # the npz-embedded step is authoritative (written atomically with the

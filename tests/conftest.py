@@ -16,11 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# CPU-only platform discovery: the suite never uses the real chip, and
+# merely initializing the axon TPU tunnel (a) intermittently hangs for
+# minutes and (b) BLOCKS any concurrently-launched training/bench
+# process from acquiring the chip — a pytest run used to stall a TPU
+# training job at backend init until the tests finished.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import jax  # noqa: E402
 
 # persistent compilation cache: repeated pytest runs skip most XLA compiles.
-# Repo-local so it survives across sessions/rounds on this machine (the
-# lane engine's unrolled step takes many minutes of XLA CPU compile cold).
+# .test_cache is COMMITTED (like .multichip_cache) so the fast tier stays
+# under its 300 s gate on a fresh checkout — the lane/leg engines take
+# many minutes of XLA CPU compile cold. Cache keys depend on the set of
+# initialized platforms, so entries must be populated under the same
+# CPU-only discovery configured above.
 import os as _os
 
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
@@ -30,14 +40,14 @@ _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 jax.config.update(
     "jax_compilation_cache_dir",
     _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    or _os.path.join(_REPO, ".jax_cache"),
+    or _os.path.join(_REPO, ".test_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 jax.config.update("jax_enable_x64", True)
-# The sandbox exposes an experimental TPU platform that cannot be disabled
-# via JAX_PLATFORMS; route defaults to the CPU backend for deterministic,
-# float64-capable test execution.
+# Belt-and-braces with the JAX_PLATFORMS=cpu default above (a caller may
+# have exported their own JAX_PLATFORMS): route defaults to the CPU
+# backend for deterministic, float64-capable test execution.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
