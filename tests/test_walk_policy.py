@@ -18,22 +18,33 @@ import pytest
 from quadruped_gym_tpu.rl import evaluate, networks
 from quadruped_gym_tpu.runtime import checkpoint
 
-CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "artifacts", "walk_r3", "policy_params")
+_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "artifacts")
+# every committed policy generation stays restorable: (dir, min trained
+# iterations). walk_r5 is the round-5 speed-sampled + log_std-clamped run.
+_POLICIES = [
+    (os.path.join(_ART, "walk_r3", "policy_params"), 40),
+    (os.path.join(_ART, "walk_r5", "policy_params"), 20),
+]
 
 OBS_WINDOW = 10
 OBS_DIM = 26 * OBS_WINDOW  # PO obs (po_walking_quad.py:22-27) x frame stack
 
 
-@pytest.mark.skipif(not os.path.isdir(CKPT), reason="no committed checkpoint")
-def test_eval_from_committed_checkpoint():
+@pytest.mark.parametrize(
+    "ckpt,min_step", _POLICIES,
+    ids=[os.path.basename(os.path.dirname(p)) for p, _ in _POLICIES],
+)
+def test_eval_from_committed_checkpoint(ckpt, min_step):
+    if not os.path.isdir(ckpt):
+        pytest.skip("no committed checkpoint at " + ckpt)
     example = networks.init(
         jax.random.PRNGKey(0),
         networks.NetConfig(obs_dim=OBS_DIM, act_dim=12),
         dtype=np.float32,
     )
-    params, step = checkpoint.restore(CKPT, example)
-    assert step and step >= 40  # 40 iterations were trained
+    params, step = checkpoint.restore(ckpt, example)
+    assert step and step >= min_step
     # restored leaves must differ from the random init (real bytes loaded)
     l0 = jax.tree_util.tree_leaves(example)[0]
     r0 = jax.tree_util.tree_leaves(params)[0]
