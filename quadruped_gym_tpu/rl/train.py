@@ -19,6 +19,19 @@ import time
 import jax
 import numpy as np
 
+# persistent compile cache: a crash-resumed trainer otherwise pays the
+# full ~2-minute train-chunk XLA compile on every relaunch. Same
+# repo-local cache the other chip entry points (bench, latency, gait)
+# use; JAX_COMPILATION_CACHE_DIR overrides for isolation.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from ..models import spec
 from ..runtime import checkpoint
 from ..tasks import commands, walking
