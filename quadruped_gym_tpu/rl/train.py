@@ -97,6 +97,14 @@ def main(argv=None):
     p.add_argument("--lane-physics", action="store_true",
                    help="route env physics through the batch-minor "
                         "lane/leg engine (~4x rollout throughput)")
+    p.add_argument("--finetune-iterations", type=int, default=0,
+                   help="after the main iterations, continue this many "
+                        "more with log_std clamped (same process - no "
+                        "checkpoint-resume upload, which the axon "
+                        "tunnel cannot survive)")
+    p.add_argument("--finetune-log-std-max", type=float, default=-1.2,
+                   help="log-std ceiling for the fine-tune phase "
+                        "(sigma <= e^x; -1.2 -> 0.30)")
     p.add_argument("--log-std-max", type=float, default=None,
                    help="clamp the policy log-std from above after each "
                         "update (fine-tune phase: bounded exploration "
@@ -174,7 +182,28 @@ def main(argv=None):
             lambda t: ppo.train_chunk(m, env_cfg, cfg, t, updates_per_iter)
         )
 
-    for it in range(start_iter, start_iter + args.iterations):
+    # phase list: the SB3-default main run, then (optionally) the
+    # log_std-clamped fine-tune IN THE SAME PROCESS. Two-phase training
+    # used to require a checkpoint resume, whose ~30 MB host->device
+    # re-upload reliably wedges the axon tunnel's transfer path (see
+    # checkpoint.py restore note) — one process avoids resume entirely
+    # and costs one extra compile.
+    plan = [(start_iter + i, train, "") for i in range(args.iterations)]
+    if args.finetune_iterations > 0 and not args.distributed:
+        import dataclasses as _dc
+
+        cfg_ft = _dc.replace(cfg, log_std_max=args.finetune_log_std_max)
+        train_ft = jax.jit(
+            lambda t: ppo.train_chunk(m, env_cfg, cfg_ft, t, updates_per_iter)
+        )
+        base = start_iter + args.iterations
+        plan += [
+            (base + i, train_ft,
+             f" [finetune log_std<={args.finetune_log_std_max}]")
+            for i in range(args.finetune_iterations)
+        ]
+
+    for it, train, phase_tag in plan:
         t0 = time.perf_counter()
         ts, history = train(ts)
         jax.block_until_ready(ts.params)
@@ -193,7 +222,8 @@ def main(argv=None):
         print(
             f"iter {it}: {steps_done} steps in {dt:.1f}s "
             f"({steps_done/dt:,.0f} steps/s), mean step reward {mean_r:.2f}, "
-            f"kl {float(history.approx_kl[-1]):.4f}"
+            f"kl {float(history.approx_kl[-1]):.4f}{phase_tag}",
+            flush=True,
         )
 
         # per-iteration artifacts (train_quadruped.py:143-164); process 0
