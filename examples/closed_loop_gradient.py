@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--speed", type=float, default=0.15)
     p.add_argument("--horizon", type=int, default=20)
+    p.add_argument("--linearize", choices=("ad", "fd"), default="ad",
+                   help="dynamics linearization. On the TPU in f32, AD "
+                        "tangents through the contact solve lose the "
+                        "descent signal and the solver stalls at stance; "
+                        "'fd' with the study-tuned epsilon "
+                        "(artifacts/gait_sqp_fd_eps_study.json) descends.")
+    p.add_argument("--fd-eps", type=float, default=3e-4)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -58,9 +65,11 @@ def main(argv=None):
         sqp=sqp.SQPConfig(
             iterations=1, qp_iterations=15, rollout=rcfg,
             alphas=(1.0, 0.3, 0.1),
+            linearize=args.linearize, fd_eps=args.fd_eps,
         ),
         ilqr=ilqr.ILQRConfig(
             iterations=2, rollout=rcfg, alphas=(1.0, 0.3, 0.1, 0.0),
+            linearize=args.linearize, fd_eps=args.fd_eps,
         ),
         plant_frame_skip=5, plant_max_contacts=12,
         plant_solver_iterations=4,
@@ -103,6 +112,8 @@ def main(argv=None):
                 f" solve iteration(s) per {ctrl_hz:.0f} Hz period,"
                 " warm-started)",
         "control_rate_hz": ctrl_hz,
+        "linearize": args.linearize,
+        "fd_eps": args.fd_eps if args.linearize == "fd" else None,
         "command_mps": args.speed,
         "horizon": args.horizon,
         "control_steps": args.steps,
